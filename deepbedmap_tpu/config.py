@@ -1,0 +1,136 @@
+"""Typed configuration for the whole framework.
+
+The reference has no config system (SURVEY.md section 5.6): hyperparameters live in
+Optuna trials, constants in notebook cells, and dataset descriptions in YAML/JSON.
+Here one set of frozen dataclasses covers model / loss / train / inference; the data
+manifests stay as data files (see ``deepbedmap_tpu.data.manifest``).
+
+Reference hyperparameter sources:
+- model: /root/reference/srgan_train.py:421-576 (generator), 591-699 (discriminator)
+- loss weights: /root/reference/srgan_train.py:849-852
+- optimized hyperparams: paper Table B1 — lr 1.7e-4, 12 RRDB, scaling 0.2, 140 epochs
+- inference tiling: /root/reference/deepbedmap.py:689-736
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneratorConfig:
+    """ESRGAN-style generator (reference srgan_train.py:421-576).
+
+    The four input branches normalise heterogeneous-resolution rasters to a common
+    latent grid with *valid* convolutions whose kernels are 3 km x 3 km with 1 km
+    stride in projected coordinates (srgan_train.py:201-266).
+    """
+
+    num_residual_blocks: int = 12
+    residual_scaling: float = 0.1
+    out_channels: int = 1
+    base_channels: int = 64  # trunk width
+    growth_channels: int = 32  # dense-block growth
+    inblock_channels: int = 32  # per-branch channels in the input block (4x32=128)
+    scale: int = 4  # super-resolution upscale factor (2x nearest-neighbour, twice)
+    # He-normal init std multiplier (Chainer HeNormal(scale=0.1), srgan_train.py:220)
+    init_scale: float = 0.1
+
+    @property
+    def concat_channels(self) -> int:
+        return 4 * self.inblock_channels
+
+
+@dataclasses.dataclass(frozen=True)
+class DiscriminatorConfig:
+    """VGG-style discriminator (reference srgan_train.py:591-699).
+
+    conv0 keeps its bias; convs 1-9 are bias-free (the reference passes
+    ``nobias=True`` positionally, srgan_train.py:626-634) and are followed by
+    BatchNorm(eps=1e-5) + LeakyReLU(0.2). Head: flatten -> 100 -> 1, no sigmoid.
+    """
+
+    channels: Tuple[int, ...] = (64, 64, 128, 128, 128, 256, 256, 512, 512, 512)
+    # kernel size / stride per conv layer 0..9
+    kernels: Tuple[int, ...] = (3, 4, 3, 4, 3, 4, 3, 4, 3, 4)
+    strides: Tuple[int, ...] = (1, 2, 1, 2, 1, 2, 1, 2, 1, 2)
+    fc_units: int = 100
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.9  # Chainer BatchNormalization decay default
+    init_scale: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Perceptual-loss weighting (reference srgan_train.py:849-852)."""
+
+    content_weight: float = 1e-2
+    adversarial_weight: float = 2e-2
+    topographic_weight: float = 2e-3
+    structural_weight: float = 5.25
+    ssim_window: int = 9
+    # Reference quirk kept for parity: the generator's adversarial term is computed
+    # against *detached* discriminator logits on fakes and literal ones for reals
+    # (srgan_train.py:1229-1244), so it carries no gradient. Setting
+    # differentiable_adversarial=True switches to true RaGAN generator loss.
+    differentiable_adversarial: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1.7e-4  # paper Table B1 optimum
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_eps: float = 1e-8  # srgan_train.py:1043 (code wins over paper's 0.1)
+    batch_size: int = 128
+    epochs: int = 140
+    train_fraction: float = 0.95  # 95/5 split, srgan_train.py:135
+    split_seed: int = 42
+    seed: int = 42
+    # Precision policy: params fp32, conv compute bf16 on TPU when enabled.
+    compute_dtype: str = "float32"
+    data_axis: str = "data"  # mesh axis name for batch sharding
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceConfig:
+    """Halo'd tile-predict-stitch (reference deepbedmap.py:689-736).
+
+    Output tiles of ``tile_out`` px are predicted from low-res crops extended by
+    ``halo_lr + 1`` low-res pixels on each side; ``(halo_lr + 1) * scale`` output
+    pixels are discarded at each edge when stitching, exactly reproducing the
+    reference's crop arithmetic (deepbedmap.py:707-736).
+    """
+
+    tile_out: int = 1000  # output pixels per tile side (250 m px -> 250 km tiles)
+    halo_lr: int = 18  # extra low-res input pixels at borders ("xtrapad")
+    scale: int = 4
+    batch_tiles: int = 1  # tiles predicted per device step
+    tile_axis: str = "data"  # mesh axis to shard the tile grid over
+
+
+@dataclasses.dataclass(frozen=True)
+class TilingConfig:
+    """Training-tile proposal (reference data_prep.py:501-572)."""
+
+    tile_px: int = 36  # 36 px * 250 m = 9 km square tiles
+    step_px: int = 3  # slide by 3 px = 750 m
+    resolution: float = 250.0
+    padding: float = 1000.0  # metres of context added to conditioning tiles
+    gapfill_bed: float = -5000.0
+    gapfill_vel: float = 0.0
+    gapfill_accum: float = 0.0
+
+
+DEFAULT_GENERATOR = GeneratorConfig()
+DEFAULT_DISCRIMINATOR = DiscriminatorConfig()
+DEFAULT_LOSS = LossConfig()
+DEFAULT_TRAIN = TrainConfig()
+DEFAULT_INFERENCE = InferenceConfig()
+DEFAULT_TILING = TilingConfig()
+
+
+def replace(cfg, **kwargs):
+    """Functional update helper for any config dataclass."""
+    return dataclasses.replace(cfg, **kwargs)

@@ -1,0 +1,171 @@
+"""Generator building blocks (flax.linen, NHWC).
+
+Maps the reference's Chainer chains (srgan_train.py:201-404) onto TPU-idiomatic
+forms:
+
+- The input block's 30x30-stride-10 and 6x6-stride-2 *valid* convolutions are
+  re-expressed as space-to-depth + 3x3-stride-1 valid convolutions — exactly the
+  same linear map (block-Toeplitz factorisation), but the 3x3 form is MXU-shaped.
+  Parameter counts and output values are identical; an imported Chainer weight
+  (C_out, C_in, 30, 30) reshapes losslessly into our (3, 3, 100*C_in, C_out).
+- Dense blocks keep explicit concatenation; XLA fuses the concats into the
+  following conv's im2col, so no extra HBM traffic materialises.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from deepbedmap_tpu.ops.deform_conv import deform_conv2d
+from deepbedmap_tpu.ops.resize import space_to_depth
+
+
+def he_normal_chainer(scale: float = 0.1) -> Callable:
+    """Chainer HeNormal(scale, fan_option='fan_in') equivalent:
+    std = scale * sqrt(2 / fan_in)  (srgan_train.py:220).
+    """
+    return nn.initializers.variance_scaling(
+        scale=2.0 * scale * scale, mode="fan_in", distribution="normal"
+    )
+
+
+def leaky_relu(x: jax.Array, slope: float = 0.2) -> jax.Array:
+    return jnp.where(x >= 0, x, slope * x)
+
+
+class StridedInputConv(nn.Module):
+    """Valid conv with kernel 3b x 3b and stride b, computed as
+    space_to_depth(b) + 3x3 valid conv. For b == 1 it is a plain 3x3 valid conv.
+
+    Mirrors the reference input-branch convolutions (srgan_train.py:223-254):
+    kernels are 3 km x 3 km with a 1 km stride in map units, so b equals the
+    ratio of 1 km to the raster's resolution (X/W3: b=1, W2: b=2, W1: b=10).
+    """
+
+    features: int
+    block: int
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.block > 1:
+            x = space_to_depth(x, self.block)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(3, 3),
+            strides=(1, 1),
+            padding="VALID",
+            kernel_init=he_normal_chainer(self.init_scale),
+        )(x)
+
+
+class InputBlock(nn.Module):
+    """Four-branch input block -> concat (reference DeepbedmapInputBlock,
+    srgan_train.py:201-266). NHWC shapes:
+    x (N,11,11,1), w1 (N,110,110,1), w2 (N,22,22,2), w3 (N,11,11,1)
+    -> (N,9,9,4*out_channels)."""
+
+    out_channels: int = 32
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, w1, w2, w3):
+        xb = StridedInputConv(self.out_channels, 1, self.init_scale, name="conv_on_X")(x)
+        w1b = StridedInputConv(self.out_channels, 10, self.init_scale, name="conv_on_W1")(w1)
+        w2b = StridedInputConv(self.out_channels, 2, self.init_scale, name="conv_on_W2")(w2)
+        w3b = StridedInputConv(self.out_channels, 1, self.init_scale, name="conv_on_W3")(w3)
+        return jnp.concatenate([xb, w1b, w2b, w3b], axis=-1)
+
+
+class ResidualDenseBlock(nn.Module):
+    """5-conv dense block with residual scaling (reference srgan_train.py:275-360).
+
+    conv1..4 emit ``growth`` channels each, densely concatenated; conv5 projects
+    back to ``features``; output = x + residual_scaling * conv5(...).
+    """
+
+    features: int = 64
+    growth: int = 32
+    residual_scaling: float = 0.1
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        def conv(features, name):
+            return nn.Conv(
+                features=features,
+                kernel_size=(3, 3),
+                padding="SAME",
+                kernel_init=he_normal_chainer(self.init_scale),
+                name=name,
+            )
+
+        a0 = x
+        a1 = leaky_relu(conv(self.growth, "conv_layer1")(a0))
+        a2 = leaky_relu(conv(self.growth, "conv_layer2")(jnp.concatenate([a0, a1], -1)))
+        a3 = leaky_relu(
+            conv(self.growth, "conv_layer3")(jnp.concatenate([a0, a1, a2], -1))
+        )
+        a4 = leaky_relu(
+            conv(self.growth, "conv_layer4")(jnp.concatenate([a0, a1, a2, a3], -1))
+        )
+        a5 = conv(self.features, "conv_layer5")(
+            jnp.concatenate([a0, a1, a2, a3, a4], -1)
+        )
+        return a0 + self.residual_scaling * a5
+
+
+class ResInResDenseBlock(nn.Module):
+    """3 chained dense blocks + scaled outer skip (reference srgan_train.py:364-404)."""
+
+    features: int = 64
+    growth: int = 32
+    residual_scaling: float = 0.1
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        a = x
+        for i in (1, 2, 3):
+            a = ResidualDenseBlock(
+                self.features,
+                self.growth,
+                self.residual_scaling,
+                self.init_scale,
+                name=f"residual_dense_block{i}",
+            )(a)
+        return x + self.residual_scaling * a
+
+
+class DeformableConv(nn.Module):
+    """Deformable conv layer = offset-predicting 3x3 conv + deformable sampler.
+
+    Mirrors Chainer L.DeformableConvolution2D(k=3, s=1, p=1) with HeNormal(0.1)
+    init on both the offset conv and the deform kernel (srgan_train.py:506-523).
+    Offset layout is documented in ``ops.deform_conv``.
+    """
+
+    features: int
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = 9  # 3x3 kernel taps
+        offsets = nn.Conv(
+            features=2 * k,
+            kernel_size=(3, 3),
+            padding="SAME",
+            kernel_init=he_normal_chainer(self.init_scale),
+            name="offset_conv",
+        )(x)
+        weight = self.param(
+            "kernel",
+            he_normal_chainer(self.init_scale),
+            (3, 3, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return deform_conv2d(x, offsets, weight, bias, padding=1)

@@ -1,0 +1,106 @@
+"""ESRGAN-style generator (reference GeneratorModel, srgan_train.py:421-576).
+
+Fully convolutional and NHWC. For an (n, n) low-res bed tile (with its 1-px
+context ring) the output is ((n-2)*4, (n-2)*4): the input block's valid convs
+shave one low-res pixel per side, then two nearest-neighbour x2 upsamples give
+the 4x super-resolution. Any window size flows through, which is what the
+tiled continent-scale inference relies on (deepbedmap.py:373-378).
+
+TPU notes: the RRDB trunk is an ``nn.scan`` — one compiled block body regardless
+of depth (12 in the reference), with parameters stacked on a leading axis. This
+keeps compile time flat in depth and makes the trunk a natural unit for
+``jax.checkpoint`` rematerialisation during training.
+"""
+
+from __future__ import annotations
+
+import jax
+from flax import linen as nn
+
+from deepbedmap_tpu.config import GeneratorConfig
+from deepbedmap_tpu.models.blocks import (
+    DeformableConv,
+    InputBlock,
+    ResInResDenseBlock,
+    he_normal_chainer,
+    leaky_relu,
+)
+from deepbedmap_tpu.ops.resize import nearest_upsample
+
+
+class _RRDBStep(nn.Module):
+    """One scan step of the residual trunk."""
+
+    features: int
+    growth: int
+    residual_scaling: float
+    init_scale: float
+
+    @nn.compact
+    def __call__(self, carry, _):
+        out = ResInResDenseBlock(
+            self.features,
+            self.growth,
+            self.residual_scaling,
+            self.init_scale,
+            name="block",
+        )(carry)
+        return out, None
+
+
+class Generator(nn.Module):
+    cfg: GeneratorConfig = GeneratorConfig()
+
+    @nn.compact
+    def __call__(self, x: jax.Array, w1: jax.Array, w2: jax.Array, w3: jax.Array):
+        """NHWC inputs: x (N,h,w,1) bed, w1 (N,10h,10w,1) surface,
+        w2 (N,2h,2w,2) velocity, w3 (N,h,w,1) accumulation."""
+        cfg = self.cfg
+
+        def conv64(name):
+            return nn.Conv(
+                features=cfg.base_channels,
+                kernel_size=(3, 3),
+                padding="SAME",
+                kernel_init=he_normal_chainer(cfg.init_scale),
+                name=name,
+            )
+
+        # 0: multi-branch input block, valid convs -> common latent grid
+        a0 = InputBlock(cfg.inblock_channels, cfg.init_scale, name="input_block")(
+            x, w1, w2, w3
+        )
+
+        # 1: pre-residual conv
+        a1 = leaky_relu(conv64("pre_residual_conv_layer")(a0))
+
+        # 2: RRDB trunk as a scan (reference repeats the block class N times,
+        # srgan_train.py:475-477)
+        trunk = nn.scan(
+            _RRDBStep,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.num_residual_blocks,
+        )(
+            cfg.base_channels,
+            cfg.growth_channels,
+            cfg.residual_scaling,
+            cfg.init_scale,
+            name="residual_network",
+        )
+        a2, _ = trunk(a1, None)
+
+        # 3: post-residual conv + long skip
+        a3 = conv64("post_residual_conv_layer")(a2) + a1
+
+        # 4: two nearest-neighbour x2 upsample + conv stages
+        a4 = a3
+        for i in (1, 2):
+            a4 = nearest_upsample(a4, 2)
+            a4 = leaky_relu(conv64(f"post_upsample_conv_layer_{i}")(a4))
+
+        # 5: two deformable convolution output layers
+        a5 = leaky_relu(
+            DeformableConv(cfg.base_channels, cfg.init_scale, name="final_conv_layer1")(a4)
+        )
+        return DeformableConv(cfg.out_channels, cfg.init_scale, name="final_conv_layer2")(a5)

@@ -1,0 +1,101 @@
+"""Model architecture parity tests (reference doctests srgan_train.py:437-447,
+601-608): exact parameter counts and output shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepbedmap_tpu.config import GeneratorConfig
+from deepbedmap_tpu.models import (
+    Discriminator,
+    Generator,
+    build_discriminator,
+    build_generator,
+    count_params,
+    generator_forward_nchw,
+)
+from deepbedmap_tpu.models.api import example_inputs_nhwc
+
+
+@pytest.fixture(scope="module")
+def generator():
+    return build_generator()
+
+
+@pytest.fixture(scope="module")
+def discriminator():
+    return build_discriminator()
+
+
+def test_generator_param_count(generator):
+    # reference: generator_model.count_params() == 8907749
+    model, params = generator
+    assert count_params(params) == 8907749
+
+
+def test_generator_output_shape(generator):
+    model, params = generator
+    out = model.apply({"params": params}, *example_inputs_nhwc(1))
+    assert out.shape == (1, 36, 36, 1)
+
+
+def test_generator_nchw_contract(generator):
+    # reference contract: (1,1,11,11)+(1,1,110,110)+(1,2,22,22)+(1,1,11,11)
+    # -> (1,1,36,36)
+    model, params = generator
+    rs = np.random.RandomState(42)
+    out = generator_forward_nchw(
+        model,
+        params,
+        jnp.asarray(rs.rand(1, 1, 11, 11), jnp.float32),
+        jnp.asarray(rs.rand(1, 1, 110, 110), jnp.float32),
+        jnp.asarray(rs.rand(1, 2, 22, 22), jnp.float32),
+        jnp.asarray(rs.rand(1, 1, 11, 11), jnp.float32),
+    )
+    assert out.shape == (1, 1, 36, 36)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_generator_fully_convolutional(generator):
+    # any (n, n) low-res window -> ((n-2)*4, (n-2)*4), the property the
+    # continent-scale tiler relies on (deepbedmap.py:373-378)
+    model, params = generator
+    n = 17
+    out = model.apply({"params": params}, *example_inputs_nhwc(1, lr=n))
+    assert out.shape == (1, (n - 2) * 4, (n - 2) * 4, 1)
+
+
+def test_generator_depth_is_config(generator):
+    # num_residual_blocks is a knob (Optuna searched it, srgan_train.py:1480-1488)
+    model, params = build_generator(GeneratorConfig(num_residual_blocks=1))
+    out = model.apply({"params": params}, *example_inputs_nhwc(1))
+    assert out.shape == (1, 36, 36, 1)
+    # 12-block count minus 11 RRDBs: 8907749 - 11 * 719424
+    assert count_params(params) == 8907749 - 11 * 719424
+
+
+def test_discriminator_param_count(discriminator):
+    # reference: discriminator_model.count_params() == 10370761
+    model, variables = discriminator
+    assert count_params(variables["params"]) == 10370761
+
+
+def test_discriminator_output_shape(discriminator):
+    model, variables = discriminator
+    y = jnp.asarray(np.random.RandomState(0).rand(2, 36, 36, 1), jnp.float32)
+    logits, mutated = model.apply(
+        variables, y, train=True, mutable=["batch_stats"]
+    )
+    assert logits.shape == (2, 1)
+    # batch stats must update in train mode
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_discriminator_eval_mode_is_pure(discriminator):
+    model, variables = discriminator
+    y = jnp.asarray(np.random.RandomState(0).rand(2, 36, 36, 1), jnp.float32)
+    logits = model.apply(variables, y, train=False)
+    assert logits.shape == (2, 1)
