@@ -1,0 +1,63 @@
+"""Train-state pytrees.
+
+The reference holds two Chainer links and two Adam optimizers
+(compile_srgan_model, srgan_train.py:1014-1055). Here all of it is one pytree —
+generator params, discriminator params + batch stats, and both optax Adam
+states — so a single donated argument flows through the jitted train step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.struct
+import jax
+import optax
+
+from deepbedmap_tpu.config import (
+    DiscriminatorConfig,
+    GeneratorConfig,
+    TrainConfig,
+)
+from deepbedmap_tpu.models.api import build_discriminator, build_generator
+
+
+@flax.struct.dataclass
+class GANState:
+    step: jax.Array
+    g_params: Any
+    g_opt: Any
+    d_params: Any
+    d_batch_stats: Any
+    d_opt: Any
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Adam exactly as the reference configures it (alpha=lr, eps=1e-8,
+    default betas; srgan_train.py:1043-1048)."""
+    return optax.adam(
+        learning_rate=cfg.learning_rate,
+        b1=cfg.adam_beta1,
+        b2=cfg.adam_beta2,
+        eps=cfg.adam_eps,
+    )
+
+
+def create_gan_state(
+    g_cfg: GeneratorConfig = GeneratorConfig(),
+    d_cfg: DiscriminatorConfig = DiscriminatorConfig(),
+    t_cfg: TrainConfig = TrainConfig(),
+    seed: int | None = None,
+) -> GANState:
+    seed = t_cfg.seed if seed is None else seed
+    _, g_params = build_generator(g_cfg, seed=seed)
+    _, d_vars = build_discriminator(d_cfg, seed=seed + 1)
+    tx = make_optimizer(t_cfg)
+    return GANState(
+        step=jax.numpy.zeros((), jax.numpy.int32),
+        g_params=g_params,
+        g_opt=tx.init(g_params),
+        d_params=d_vars["params"],
+        d_batch_stats=d_vars["batch_stats"],
+        d_opt=tx.init(d_vars["params"]),
+    )

@@ -1,0 +1,149 @@
+"""Training-step tests mirroring the reference's 'training occurred' doctests
+(srgan_train.py:1100-1122, 1190-1212) plus end-to-end epoch behaviour."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepbedmap_tpu.config import (
+    DiscriminatorConfig,
+    GeneratorConfig,
+    LossConfig,
+    TrainConfig,
+)
+from deepbedmap_tpu.data.dataset import TileDataset, epoch_batches, train_dev_split
+from deepbedmap_tpu.models.discriminator import Discriminator
+from deepbedmap_tpu.models.generator import Generator
+from deepbedmap_tpu.train import create_gan_state, fit, make_train_step
+from deepbedmap_tpu.train.loop import make_epoch_fns
+from deepbedmap_tpu.train.steps import make_eval_step
+
+TINY_G = GeneratorConfig(num_residual_blocks=1)
+TINY_T = TrainConfig(batch_size=2, learning_rate=1e-3)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g_model = Generator(TINY_G)
+    d_model = Discriminator(DiscriminatorConfig())
+    state = create_gan_state(TINY_G, t_cfg=TINY_T)
+    dataset = TileDataset.synthetic(8, seed=0)
+    return g_model, d_model, state, dataset
+
+
+def _leaf_diff(a, b):
+    return any(
+        not np.allclose(x, y)
+        for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+    )
+
+
+def test_train_step_updates_both_models(setup):
+    g_model, d_model, state, dataset = setup
+    step = jax.jit(make_train_step(g_model, d_model, TINY_T))
+    batch = dataset.take(jnp.arange(2))
+    new_state, metrics = step(state, batch)
+
+    assert _leaf_diff(new_state.g_params, state.g_params)
+    assert _leaf_diff(new_state.d_params, state.d_params)
+    assert _leaf_diff(new_state.d_batch_stats, state.d_batch_stats)
+    assert int(new_state.step) == int(state.step) + 1
+    for name, value in vars(metrics).items():
+        assert np.isfinite(float(value)), name
+
+
+def test_eval_step_is_pure(setup):
+    g_model, d_model, state, dataset = setup
+    ev = jax.jit(make_eval_step(g_model, d_model))
+    batch = dataset.take(jnp.arange(2))
+    m1 = ev(state, batch)
+    m2 = ev(state, batch)
+    assert float(m1.generator_loss) == float(m2.generator_loss)
+
+
+def test_nondifferentiable_adversarial_parity(setup):
+    """Reference parity: with the default (detached) adversarial term, the
+    generator gradient must be identical whether the adversarial weight is
+    0 or huge — it carries no gradient (srgan_train.py:1229-1233)."""
+    g_model, d_model, state, dataset = setup
+    batch = dataset.take(jnp.arange(2))
+
+    def g_grad(loss_cfg):
+        step = make_train_step(g_model, d_model, TINY_T, loss_cfg)
+        new_state, _ = jax.jit(step)(state, batch)
+        return new_state.g_params
+
+    p_small = g_grad(LossConfig(adversarial_weight=0.0))
+    p_big = g_grad(LossConfig(adversarial_weight=1e6))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_small), jax.tree_util.tree_leaves(p_big)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_differentiable_adversarial_changes_gradient(setup):
+    from deepbedmap_tpu.train.steps import make_g_loss_fn
+
+    g_model, d_model, state, dataset = setup
+    batch = dataset.take(jnp.arange(2))
+
+    def g_grads(cfg):
+        loss_fn = make_g_loss_fn(g_model, d_model, cfg)
+        grads, _ = jax.grad(loss_fn, has_aux=True)(
+            state.g_params, state.d_params, state.d_batch_stats, batch
+        )
+        return grads
+
+    # isolate the adversarial term: zero every other weight
+    only_adv = dict(
+        content_weight=0.0, topographic_weight=0.0, structural_weight=0.0,
+        adversarial_weight=1.0,
+    )
+    ref = g_grads(LossConfig(**only_adv))  # detached (reference quirk): zero grad
+    assert all(
+        float(jnp.abs(g).max()) == 0.0 for g in jax.tree_util.tree_leaves(ref)
+    )
+    diff = g_grads(LossConfig(**only_adv, differentiable_adversarial=True))
+    assert any(
+        float(jnp.abs(g).max()) > 0.0 for g in jax.tree_util.tree_leaves(diff)
+    )
+
+
+def test_epoch_scan_and_fit(setup):
+    g_model, d_model, state, dataset = setup
+    t_cfg = TrainConfig(batch_size=2, learning_rate=1e-4, train_fraction=0.75)
+    state = create_gan_state(TINY_G, t_cfg=t_cfg)
+    state, history = fit(
+        state, dataset, g_model, d_model, t_cfg=t_cfg, epochs=2
+    )
+    assert len(history) == 2
+    for record in history:
+        for key, value in record.items():
+            assert np.isfinite(value), key
+    assert int(state.step) == 2 * 3  # 6 train tiles / batch 2 = 3 steps/epoch
+    assert "val_generator_psnr" in history[0]
+
+
+def test_fit_callback_stops(setup):
+    g_model, d_model, _, dataset = setup
+    t_cfg = TrainConfig(batch_size=2, train_fraction=0.75)
+    state = create_gan_state(TINY_G, t_cfg=t_cfg)
+    state, history = fit(
+        state,
+        dataset,
+        g_model,
+        d_model,
+        t_cfg=t_cfg,
+        epochs=5,
+        callback=lambda epoch, rec: epoch >= 1,  # prune after 2 epochs
+    )
+    assert len(history) == 2
+
+
+def test_split_is_reference_shaped():
+    train_idx, dev_idx = train_dev_split(3826)
+    assert len(train_idx) == 3634 and len(dev_idx) == 192
+    assert len(np.intersect1d(train_idx, dev_idx)) == 0
+    batches = epoch_batches(train_idx, 128, np.random.RandomState(0))
+    assert batches.shape == (28, 128)
