@@ -1,0 +1,74 @@
+"""Benchmark: super-resolution tile throughput on the continent workload.
+
+Measures tiles/sec of the flagship 12-RRDB generator on continent-sized tile
+crops (288 low-res px with halo -> 1000 output px after halo discard, exactly
+the whole-Antarctica tiling of deepbedmap.py:691-736) on the available device
+(real TPU under the driver; CPU when forced).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline: the reference publishes no tile throughput (SURVEY.md section 6).
+We use an analytic V100-fp32 estimate as the baseline denominator: ~1.6 TFLOP
+per 288x288-lr generator forward at ~40% of 14 TFLOP/s peak -> ~4 tiles/s.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_TILES_PER_SEC_ESTIMATE = 4.0  # V100 fp32, analytic (see docstring)
+
+
+def build_tile_inputs(crop_lr: int = 288, batch: int = 1, seed: int = 0):
+    rs = np.random.RandomState(seed)
+    return (
+        jnp.asarray(rs.rand(batch, crop_lr, crop_lr, 1), jnp.float32),
+        jnp.asarray(rs.rand(batch, 10 * crop_lr, 10 * crop_lr, 1), jnp.float32),
+        jnp.asarray(rs.rand(batch, 2 * crop_lr, 2 * crop_lr, 2), jnp.float32),
+        jnp.asarray(rs.rand(batch, crop_lr, crop_lr, 1), jnp.float32),
+    )
+
+
+def main() -> None:
+    from deepbedmap_tpu.config import GeneratorConfig
+    from deepbedmap_tpu.models import build_generator
+
+    model, params = build_generator(GeneratorConfig(), lr=11)
+
+    @jax.jit
+    def forward(params, x, w1, w2, w3):
+        return model.apply({"params": params}, x, w1, w2, w3)
+
+    crop_lr = 288
+    inputs = build_tile_inputs(crop_lr)
+
+    # compile + warmup
+    out = forward(params, *inputs)
+    out.block_until_ready()
+
+    # timed: continent tiles are independent; single-chip rate is the unit
+    iters = 10
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = forward(params, *inputs)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - start
+    tiles_per_sec = iters / elapsed
+
+    result = {
+        "metric": "sr_tiles_per_sec_per_chip",
+        "value": round(tiles_per_sec, 3),
+        "unit": "288px-lr continent tiles/s/chip",
+        "vs_baseline": round(tiles_per_sec / REFERENCE_TILES_PER_SEC_ESTIMATE, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,467 @@
+"""GeoTIFF reader/writer — the framework's GDAL replacement.
+
+The reference writes its DEMs through rasterio/GDAL with LZW + tiling + BigTIFF
+(data_prep.py:809-824, deepbedmap.py:749-756). This image has no GDAL, so the
+framework carries its own codec:
+
+- read: classic TIFF and BigTIFF, strips or tiles, uncompressed or LZW
+  (+ horizontal predictor), u8/i16/u16/i32/f32/f64 single-band;
+- write: classic or BigTIFF, striped or square-tiled, optional LZW, GeoTIFF
+  georeferencing (ModelPixelScale + ModelTiepoint + EPSG geokeys) and
+  GDAL_NODATA;
+- the LZW inner loops use the native C++ codec (``native/tiffcodec``) when
+  built, falling back to the pure-Python implementation.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+# TIFF tag ids
+_T_WIDTH, _T_HEIGHT = 256, 257
+_T_BITS, _T_COMPRESSION, _T_PHOTOMETRIC = 258, 259, 262
+_T_STRIP_OFFSETS, _T_SAMPLES, _T_ROWS_PER_STRIP, _T_STRIP_COUNTS = 273, 277, 278, 279
+_T_PREDICTOR = 317
+_T_TILE_W, _T_TILE_H, _T_TILE_OFFSETS, _T_TILE_COUNTS = 322, 323, 324, 325
+_T_SAMPLE_FORMAT = 339
+_T_PIXEL_SCALE, _T_TIEPOINT = 33550, 33922
+_T_GEO_KEYS, _T_GEO_DOUBLES, _T_GEO_ASCII = 34735, 34736, 34737
+_T_GDAL_NODATA = 42113
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+_TYPE_FMT = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q"}
+
+
+# --------------------------------------------------------------------------
+# LZW (TIFF flavour: MSB-first bits, 9..12-bit codes, early change)
+# --------------------------------------------------------------------------
+
+def _native():
+    try:
+        from deepbedmap_tpu.data import _tiffnative
+
+        return _tiffnative
+    except Exception:
+        return None
+
+
+def lzw_decode(data: bytes) -> bytes:
+    nat = _native()
+    if nat is not None:
+        return nat.lzw_decode(data)
+    return _lzw_decode_py(data)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    nat = _native()
+    if nat is not None:
+        return nat.lzw_encode(data)
+    return _lzw_encode_py(data)
+
+
+def _lzw_decode_py(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list = []
+
+    def reset():
+        nonlocal table
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+
+    reset()
+    bitbuf = 0
+    bitcnt = 0
+    width = 9
+    prev: Optional[bytes] = None
+    pos = 0
+    n = len(data)
+    while pos < n or bitcnt >= width:
+        while bitcnt < width and pos < n:
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bitcnt += 8
+        if bitcnt < width:
+            break
+        code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+        bitcnt -= width
+        if code == CLEAR:
+            reset()
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # TIFF 'early change' (libtiff-compatible): bump width one code early
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _lzw_encode_py(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+
+    def put(code: int, width: int):
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    table: Dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(CLEAR, width)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # width transition mirroring libtiff's decoder (which applies the
+        # spec's 'early change' on its side): the encoder bumps once its next
+        # free entry fills the current width, i.e. the decoder — whose table
+        # trails by one entry — just crossed (1<<width)-1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == (1 << 12) - 2:
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        put(table[w], width)
+    put(EOI, width)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Reader
+# --------------------------------------------------------------------------
+
+def read_geotiff(path: str):
+    """Read a single-band GeoTIFF. Returns (array (H, W), meta dict) with
+    meta keys: left, top, res, nodata (maybe None), crs_epsg (maybe None)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+
+    byte0 = raw[:2]
+    assert byte0 in (b"II", b"MM"), "not a TIFF"
+    bo = "<" if byte0 == b"II" else ">"
+    magic = struct.unpack(bo + "H", raw[2:4])[0]
+
+    if magic == 42:  # classic
+        (ifd_off,) = struct.unpack(bo + "I", raw[4:8])
+        entry_size, count_fmt, count_size = 12, "H", 2
+        off_fmt = "I"
+    elif magic == 43:  # BigTIFF
+        ifd_off = struct.unpack(bo + "Q", raw[8:16])[0]
+        entry_size, count_fmt, count_size = 20, "Q", 8
+        off_fmt = "Q"
+    else:
+        raise ValueError(f"bad TIFF magic {magic}")
+
+    (n_entries,) = struct.unpack(
+        bo + count_fmt, raw[ifd_off : ifd_off + count_size]
+    )
+    tags: Dict[int, np.ndarray] = {}
+    base = ifd_off + count_size
+    inline = 4 if magic == 42 else 8
+    for i in range(n_entries):
+        e = raw[base + i * entry_size : base + (i + 1) * entry_size]
+        tag, typ = struct.unpack(bo + "HH", e[:4])
+        cnt = struct.unpack(bo + off_fmt, e[4 : 4 + (4 if magic == 42 else 8)])[0]
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        val_field = e[4 + (4 if magic == 42 else 8) :]
+        if size <= inline:
+            payload = val_field[:size]
+        else:
+            off = struct.unpack(bo + off_fmt, val_field)[0]
+            payload = raw[off : off + size]
+        if typ in _TYPE_FMT:
+            tags[tag] = np.frombuffer(
+                payload, dtype=np.dtype(bo + _TYPE_FMT[typ]), count=cnt
+            )
+        elif typ == 2:  # ascii
+            tags[tag] = payload
+        else:
+            tags[tag] = np.frombuffer(payload, dtype=np.uint8)
+
+    width = int(tags[_T_WIDTH][0])
+    height = int(tags[_T_HEIGHT][0])
+    bits = int(tags.get(_T_BITS, np.array([1]))[0])
+    compression = int(tags.get(_T_COMPRESSION, np.array([1]))[0])
+    predictor = int(tags.get(_T_PREDICTOR, np.array([1]))[0])
+    sample_format = int(tags.get(_T_SAMPLE_FORMAT, np.array([1]))[0])
+    samples = int(tags.get(_T_SAMPLES, np.array([1]))[0])
+    assert samples == 1, "single-band only"
+    assert compression in (1, 5), f"unsupported compression {compression}"
+
+    dtype = {
+        (1, 8): np.uint8,
+        (1, 16): np.uint16,
+        (1, 32): np.uint32,
+        (2, 8): np.int8,
+        (2, 16): np.int16,
+        (2, 32): np.int32,
+        (3, 32): np.float32,
+        (3, 64): np.float64,
+    }[(sample_format, bits)]
+    dt = np.dtype(dtype).newbyteorder(bo)
+    itemsize = dt.itemsize
+
+    def decode_block(buf: bytes, rows: int, cols: int) -> np.ndarray:
+        if compression == 5:
+            buf = lzw_decode(buf)
+        buf = buf[: rows * cols * itemsize]
+        arr = np.frombuffer(buf, dtype=dt).reshape(rows, cols).copy()
+        if predictor == 2:
+            arr = np.cumsum(arr, axis=1, dtype=arr.dtype)
+        return arr
+
+    out = np.zeros((height, width), dtype=dt)
+    if _T_TILE_OFFSETS in tags:
+        tw = int(tags[_T_TILE_W][0])
+        th = int(tags[_T_TILE_H][0])
+        offs = tags[_T_TILE_OFFSETS].astype(np.int64)
+        cnts = tags[_T_TILE_COUNTS].astype(np.int64)
+        tiles_across = -(-width // tw)
+        for idx, (o, c) in enumerate(zip(offs, cnts)):
+            ti, tj = idx // tiles_across, idx % tiles_across
+            block = decode_block(raw[o : o + c], th, tw)
+            r0, c0 = ti * th, tj * tw
+            out[r0 : r0 + th, c0 : c0 + tw] = block[
+                : min(th, height - r0), : min(tw, width - c0)
+            ]
+    else:
+        rps = int(tags.get(_T_ROWS_PER_STRIP, np.array([height]))[0])
+        offs = tags[_T_STRIP_OFFSETS].astype(np.int64)
+        cnts = tags[_T_STRIP_COUNTS].astype(np.int64)
+        for idx, (o, c) in enumerate(zip(offs, cnts)):
+            r0 = idx * rps
+            rows = min(rps, height - r0)
+            out[r0 : r0 + rows] = decode_block(raw[o : o + c], rows, width)
+
+    meta = {"left": None, "top": None, "res": None, "nodata": None, "crs_epsg": None}
+    if _T_PIXEL_SCALE in tags and _T_TIEPOINT in tags:
+        scale = tags[_T_PIXEL_SCALE]
+        tie = tags[_T_TIEPOINT]
+        meta["res"] = float(scale[0])
+        # tiepoint: raster (i,j,k) -> model (x,y,z); standard usage anchors (0,0)
+        meta["left"] = float(tie[3] - tie[0] * scale[0])
+        meta["top"] = float(tie[4] + tie[1] * scale[1])
+    if _T_GDAL_NODATA in tags:
+        try:
+            meta["nodata"] = float(tags[_T_GDAL_NODATA].split(b"\x00")[0])
+        except ValueError:
+            pass
+    if _T_GEO_KEYS in tags:
+        keys = tags[_T_GEO_KEYS]
+        for k in range(4, len(keys), 4):
+            if keys[k] == 3072:  # ProjectedCSTypeGeoKey
+                meta["crs_epsg"] = int(keys[k + 3])
+    return out, meta
+
+
+# --------------------------------------------------------------------------
+# Writer
+# --------------------------------------------------------------------------
+
+def write_geotiff(
+    path: str,
+    array: np.ndarray,  # (H, W)
+    left: float,
+    top: float,
+    res: float,
+    nodata: Optional[float] = None,
+    epsg: int = 3031,
+    compress: bool = False,
+    tiled: bool = False,
+    tile_size: int = 512,
+    bigtiff: Optional[bool] = None,
+) -> None:
+    """Write a single-band GeoTIFF (classic or BigTIFF, optional LZW)."""
+    array = np.ascontiguousarray(array)
+    h, w = array.shape
+    dt = array.dtype
+    sample_format = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    bits = dt.itemsize * 8
+
+    # blocks
+    blocks = []
+    if tiled:
+        th = tw = tile_size
+        for r0 in range(0, h, th):
+            for c0 in range(0, w, tw):
+                block = np.zeros((th, tw), dt)
+                rr = min(th, h - r0)
+                cc = min(tw, w - c0)
+                block[:rr, :cc] = array[r0 : r0 + rr, c0 : c0 + cc]
+                blocks.append(block.tobytes())
+    else:
+        th = max(1, (1 << 20) // max(1, w * dt.itemsize))  # ~1MB strips
+        for r0 in range(0, h, th):
+            blocks.append(array[r0 : min(r0 + th, h)].tobytes())
+
+    if compress:
+        blocks = [lzw_encode(b) for b in blocks]
+
+    total = sum(len(b) for b in blocks)
+    if bigtiff is None:
+        bigtiff = total + 65536 > 0xFFFF0000
+
+    geo_keys = np.array(
+        [
+            1, 1, 0, 3,  # version, revision, minor, number of keys
+            1024, 0, 1, 1,  # GTModelTypeGeoKey = projected
+            1025, 0, 1, 1,  # GTRasterTypeGeoKey = PixelIsArea
+            3072, 0, 1, epsg,  # ProjectedCSTypeGeoKey
+        ],
+        np.uint16,
+    )
+    pixel_scale = np.array([res, res, 0.0], np.float64)
+    tiepoint = np.array([0, 0, 0, left, top, 0.0], np.float64)
+
+    entries = [
+        (_T_WIDTH, 3, [w]),
+        (_T_HEIGHT, 3, [h]),
+        (_T_BITS, 3, [bits]),
+        (_T_COMPRESSION, 3, [5 if compress else 1]),
+        (_T_PHOTOMETRIC, 3, [1]),
+        (_T_SAMPLES, 3, [1]),
+        (_T_SAMPLE_FORMAT, 3, [sample_format]),
+        (_T_PIXEL_SCALE, 12, pixel_scale.tolist()),
+        (_T_TIEPOINT, 12, tiepoint.tolist()),
+        (_T_GEO_KEYS, 3, geo_keys.tolist()),
+    ]
+    if tiled:
+        entries += [
+            (_T_TILE_W, 3, [tw]),
+            (_T_TILE_H, 3, [th]),
+            (_T_TILE_OFFSETS, None, blocks),  # filled below
+            (_T_TILE_COUNTS, 4, [len(b) for b in blocks]),
+        ]
+    else:
+        entries += [
+            (_T_ROWS_PER_STRIP, 3, [th]),
+            (_T_STRIP_OFFSETS, None, blocks),
+            (_T_STRIP_COUNTS, 4, [len(b) for b in blocks]),
+        ]
+    if nodata is not None:
+        nd = (
+            str(int(nodata)) if float(nodata).is_integer() else repr(float(nodata))
+        ).encode() + b"\x00"
+        entries.append((_T_GDAL_NODATA, 2, nd))
+    entries.sort(key=lambda e: e[0])
+
+    bo = "<"
+    if not bigtiff:
+        header_size = 8
+        entry_size, count_size, inline, off_fmt, count_fmt = 12, 2, 4, "I", "H"
+        off_type = 4
+    else:
+        header_size = 16
+        entry_size, count_size, inline, off_fmt, count_fmt = 20, 8, 8, "Q", "Q"
+        off_type = 16
+
+    ifd_off = header_size
+    ifd_size = count_size + len(entries) * entry_size + (4 if not bigtiff else 8)
+    aux_off = ifd_off + ifd_size  # out-of-line tag payloads start here
+
+    # lay out out-of-line payloads, then block data
+    payloads = []
+
+    def payload_bytes(typ, values):
+        if typ == 2:
+            return bytes(values)
+        fmt = _TYPE_FMT[typ]
+        return struct.pack(bo + fmt * len(values), *values)
+
+    # first pass: compute where block data will live
+    fixed_payload_size = 0
+    for tag, typ, values in entries:
+        if typ is None:
+            continue
+        size = len(values) if typ == 2 else _TYPE_SIZES[typ] * len(values)
+        if size > inline:
+            fixed_payload_size += (size + 1) & ~1
+    # offsets tag payload size (depends on count)
+    n_blocks = len(blocks)
+    offsets_typ = 16 if bigtiff else 4
+    offsets_payload = n_blocks * _TYPE_SIZES[offsets_typ]
+    if offsets_payload > inline:
+        fixed_payload_size += (offsets_payload + 1) & ~1
+
+    data_off = aux_off + fixed_payload_size
+    block_offsets = []
+    pos = data_off
+    for b in blocks:
+        block_offsets.append(pos)
+        pos += (len(b) + 1) & ~1
+
+    # second pass: serialise entries
+    out_entries = b""
+    aux_cursor = aux_off
+    aux_chunks = []
+    for tag, typ, values in entries:
+        if typ is None:  # offsets tag
+            typ = offsets_typ
+            values = block_offsets
+        if typ == 2:
+            payload = payload_bytes(typ, values)
+            cnt = len(payload)
+        else:
+            payload = payload_bytes(typ, values)
+            cnt = len(values)
+        if len(payload) <= inline:
+            val_field = payload + b"\x00" * (inline - len(payload))
+        else:
+            val_field = struct.pack(bo + off_fmt, aux_cursor)
+            padded = payload + (b"\x00" if len(payload) & 1 else b"")
+            aux_chunks.append(padded)
+            aux_cursor += len(padded)
+        out_entries += struct.pack(bo + "HH", tag, typ)
+        out_entries += struct.pack(bo + off_fmt, cnt)
+        out_entries += val_field
+
+    with open(path, "wb") as f:
+        if not bigtiff:
+            f.write(b"II" + struct.pack("<H", 42) + struct.pack("<I", ifd_off))
+        else:
+            f.write(
+                b"II"
+                + struct.pack("<HHH", 43, 8, 0)
+                + struct.pack("<Q", ifd_off)
+            )
+        f.write(struct.pack(bo + count_fmt, len(entries)))
+        f.write(out_entries)
+        f.write(struct.pack(bo + off_fmt, 0))  # next IFD
+        for chunk in aux_chunks:
+            f.write(chunk)
+        assert f.tell() == data_off, (f.tell(), data_off)
+        for b in blocks:
+            f.write(b)
+            if len(b) & 1:
+                f.write(b"\x00")

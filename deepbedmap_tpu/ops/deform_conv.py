@@ -19,6 +19,7 @@ zero, matching zero ('valid'-style) padding semantics.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -27,10 +28,10 @@ import jax.numpy as jnp
 
 def _bilinear_gather(
     x_pad: jax.Array,  # (N, HP, WP, C) zero-padded input
-    rows: jax.Array,  # (N, H, W, K) fractional row coords into x_pad
-    cols: jax.Array,  # (N, H, W, K) fractional col coords into x_pad
+    rows: jax.Array,  # (N, H, W) fractional row coords into x_pad
+    cols: jax.Array,  # (N, H, W) fractional col coords into x_pad
 ) -> jax.Array:
-    """Sample x_pad at fractional (rows, cols); returns (N, H, W, K, C).
+    """Sample x_pad at fractional (rows, cols); returns (N, H, W, C).
 
     Out-of-range samples are zero. Implemented as 4 flat gathers + lerp so XLA
     emits dynamic-gather HLO (vectorised on TPU) rather than scalar loops.
@@ -71,19 +72,15 @@ def _bilinear_gather(
     )
 
 
-def deform_conv2d(
-    x: jax.Array,  # (N, H, W, C_in)
-    offsets: jax.Array,  # (N, H, W, 2*K) with K = kh*kw; [:K]=dy, [K:]=dx
-    weight: jax.Array,  # (kh, kw, C_in, C_out)
-    bias: Optional[jax.Array] = None,  # (C_out,)
-    padding: int = 1,
+def _deform_conv_gather(
+    x: jax.Array,
+    offsets: jax.Array,
+    weight: jax.Array,
+    bias: Optional[jax.Array],
+    padding: int,
 ) -> jax.Array:
-    """Deformable convolution v1, stride 1, square zero padding.
-
-    Equivalent in semantics to Chainer's deformable_convolution_2d_sampler with
-    stride 1 / pad ``padding`` (reference usage is always k=3, s=1, p=1:
-    srgan_train.py:506-523).
-    """
+    """Exact sampler via XLA gathers — any offset magnitude, but gathers run
+    far from bandwidth-bound on TPU (measured ~30x); prefer 'shifts' there."""
     n, h, w, c_in = x.shape
     kh, kw, wc_in, c_out = weight.shape
     k = kh * kw
@@ -93,25 +90,159 @@ def deform_conv2d(
     x_pad = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
 
     # Base sampling grid in padded coordinates: output pixel (i, j) tap (u, v)
-    # sits at (i + u, j + v) when padding == (k-1)/2 offsets are zero.
-    ii = jax.lax.broadcasted_iota(jnp.float32, (h, w, k), 0)
-    jj = jax.lax.broadcasted_iota(jnp.float32, (h, w, k), 1)
-    kk = jax.lax.broadcasted_iota(jnp.float32, (h, w, k), 2)
-    uu = jnp.floor(kk / kw)
-    vv = kk - uu * kw
+    # sits at (i + u, j + v) when padding == (k-1)/2 and offsets are zero.
+    ii = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)[None]
+    jj = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)[None]
 
-    dy = offsets[..., :k].astype(jnp.float32)
-    dx = offsets[..., k:].astype(jnp.float32)
-    rows = ii[None] + uu[None] + dy
-    cols = jj[None] + vv[None] + dx
+    # Accumulate tap by tap: peak memory one (N, H, W, C_in) sample instead of
+    # a (N, H, W, K, C_in) tensor — at continent-tile resolution (1144^2 x 64ch)
+    # the fused form would need ~30 GB of HBM. Each tap is still one MXU matmul
+    # (N*H*W, C_in) @ (C_in, C_out); the Python loop is a static k unroll.
+    acc = jnp.zeros((n * h * w, c_out), jnp.float32)
+    rhs = weight.reshape(k, c_in, c_out)
+    for t in range(k):
+        u, v = t // kw, t % kw
+        rows = ii + u + offsets[..., t].astype(jnp.float32)
+        cols = jj + v + offsets[..., k + t].astype(jnp.float32)
+        sampled = _bilinear_gather(x_pad, rows, cols)  # (N, H, W, C_in)
+        acc = acc + jnp.dot(
+            sampled.reshape(n * h * w, c_in),
+            rhs[t],
+            preferred_element_type=jnp.float32,
+        )
 
-    sampled = _bilinear_gather(x_pad, rows, cols)  # (N, H, W, K, C_in)
-
-    # Single MXU matmul: (N*H*W, K*C_in) @ (K*C_in, C_out)
-    lhs = sampled.reshape(n * h * w, k * c_in)
-    rhs = weight.reshape(k * c_in, c_out)
-    out = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
-    out = out.reshape(n, h, w, c_out).astype(x.dtype)
+    out = acc.reshape(n, h, w, c_out).astype(x.dtype)
     if bias is not None:
         out = out + bias
     return out
+
+
+def _deform_conv_shifts(
+    x: jax.Array,
+    offsets: jax.Array,
+    weight: jax.Array,
+    bias: Optional[jax.Array],
+    padding: int,
+    clamp: int,
+) -> jax.Array:
+    """Gather-free sampler: offsets are clamped to [-clamp, clamp] and the
+    bilinear sample decomposes over the (2*clamp+2)^2 integer shifts as
+    statically-sliced reads weighted by per-position masks:
+
+        y_k(p) = sum_{sy,sx} wy[sy](p) * wx[sx](p) * x(p + k + (sy, sx))
+        wy[s]  = (1-fy) * [floor(dy) == s] + fy * [floor(dy) == s-1]
+
+    Everything is dense VPU math + 9 MXU matmuls — no gathers at all, which on
+    TPU is ~30x faster than the gather formulation at continent-tile sizes.
+    Exact vs. the gather path whenever all offsets lie within the clamp window.
+    """
+    n, h, w, c_in = x.shape
+    kh, kw, _, c_out = weight.shape
+    k = kh * kw
+
+    big = padding + clamp + 1  # covers tap shift + max integer shift + corner
+    x_big = jnp.pad(x, ((0, 0), (big, big), (big, big), (0, 0)))
+
+    rhs = weight.reshape(k, c_in, c_out)
+    acc = jnp.zeros((n * h * w, c_out), jnp.float32)
+    shifts = range(-clamp, clamp + 2)
+    for t in range(k):
+        u, v = t // kw, t % kw
+        dy = jnp.clip(offsets[..., t].astype(jnp.float32), -clamp, clamp)
+        dx = jnp.clip(offsets[..., k + t].astype(jnp.float32), -clamp, clamp)
+        iy = jnp.floor(dy)
+        ix = jnp.floor(dx)
+        fy = dy - iy
+        fx = dx - ix
+        wy = {
+            s: (1.0 - fy) * (iy == s) + fy * (iy == s - 1) for s in shifts
+        }
+        wx = {
+            s: (1.0 - fx) * (ix == s) + fx * (ix == s - 1) for s in shifts
+        }
+        y_t = jnp.zeros((n, h, w, c_in), jnp.float32)
+        for sy in shifts:
+            row0 = big + u - padding + sy
+            for sx in shifts:
+                col0 = big + v - padding + sx
+                patch = jax.lax.slice(
+                    x_big,
+                    (0, row0, col0, 0),
+                    (n, row0 + h, col0 + w, c_in),
+                )
+                y_t = y_t + (wy[sy] * wx[sx])[..., None] * patch
+        acc = acc + jnp.dot(
+            y_t.reshape(n * h * w, c_in),
+            rhs[t],
+            preferred_element_type=jnp.float32,
+        )
+
+    out = acc.reshape(n, h, w, c_out).astype(x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_path(cfg, x, offsets, weight, bias):
+    from deepbedmap_tpu.ops.pallas_kernels import deform_conv2d_pallas
+
+    padding, clamp = cfg
+    return deform_conv2d_pallas(x, offsets, weight, bias, padding, clamp)
+
+
+def _pallas_fwd(cfg, x, offsets, weight, bias):
+    return _pallas_path(cfg, x, offsets, weight, bias), (x, offsets, weight, bias)
+
+
+def _pallas_bwd(cfg, residuals, g):
+    # Backward through the numerically-identical XLA shifts formulation —
+    # training tiles are small (36x36), so the XLA path's cost is irrelevant.
+    padding, clamp = cfg
+    x, offsets, weight, bias = residuals
+    _, vjp = jax.vjp(
+        lambda xx, oo, ww, bb: _deform_conv_shifts(xx, oo, ww, bb, padding, clamp),
+        x,
+        offsets,
+        weight,
+        bias,
+    )
+    return vjp(g)
+
+
+_pallas_path.defvjp(_pallas_fwd, _pallas_bwd)
+
+
+def deform_conv2d(
+    x: jax.Array,  # (N, H, W, C_in)
+    offsets: jax.Array,  # (N, H, W, 2*K) with K = kh*kw; [:K]=dy, [K:]=dx
+    weight: jax.Array,  # (kh, kw, C_in, C_out)
+    bias: Optional[jax.Array] = None,  # (C_out,)
+    padding: int = 1,
+    method: str = "pallas",
+    clamp: int = 2,
+) -> jax.Array:
+    """Deformable convolution v1, stride 1, square zero padding.
+
+    Equivalent in semantics to Chainer's deformable_convolution_2d_sampler with
+    stride 1 / pad ``padding`` (reference usage is always k=3, s=1, p=1:
+    srgan_train.py:506-523).
+
+    method:
+      'pallas' (default) — VMEM-blocked TPU kernel of the masked-shift
+          decomposition (ops.pallas_kernels); interpreted off-TPU. Offsets
+          clamped to [-clamp, clamp] px (learned offsets in this architecture
+          stay well inside ±2). Differentiable via a custom VJP that reuses
+          the 'shifts' backward.
+      'shifts' — same decomposition in pure XLA (portable, but XLA spills
+          every shifted term through HBM at large sizes).
+      'gather' — exact for unbounded offsets; slow on TPU, fine on CPU.
+    """
+    if method == "gather":
+        return _deform_conv_gather(x, offsets, weight, bias, padding)
+    if method == "shifts":
+        return _deform_conv_shifts(x, offsets, weight, bias, padding, clamp)
+    if method == "pallas":
+        b = jnp.zeros((weight.shape[-1],), x.dtype) if bias is None else bias
+        return _pallas_path((padding, clamp), x, offsets, weight, b)
+    raise ValueError(f"unknown deform_conv2d method {method!r}")

@@ -1,0 +1,99 @@
+"""Bilinear sampling on regular grids — the numerical core shared by the tiler
+(selective_tile semantics, data_prep.py:622-741), grdtrack-style point sampling
+(deepbedmap.py:530-544), and raster resampling.
+
+Grid convention (matches the reference's xarray rasters): cell centers at
+``x = x0 + res*(j + 0.5)``, ``y = y1 - res*(i + 0.5)`` — x0/y1 are the *outer*
+bounds (left/top edges), rows run top->bottom.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_grid_bilinear(
+    data: jax.Array,  # (H, W)
+    xs: jax.Array,  # sample x coords, any shape
+    ys: jax.Array,  # sample y coords, same shape
+    x0: float,
+    y1: float,
+    res: float,
+    fill_value: float = jnp.nan,
+) -> jax.Array:
+    """Bilinearly sample a grid at projected coordinates.
+
+    Samples at exact cell centers return the cell value; samples whose 2x2
+    neighbourhood extends outside the grid return ``fill_value`` (matching
+    xarray.interp's NaN-outside behaviour used by selective_tile).
+    """
+    h, w = data.shape
+    # fractional array indices of the sample points (0 at first cell center)
+    fj = (xs - x0) / res - 0.5
+    fi = (y1 - ys) / res - 0.5
+
+    i0 = jnp.floor(fi)
+    j0 = jnp.floor(fj)
+    di = fi - i0
+    dj = fj - j0
+    i0 = i0.astype(jnp.int32)
+    j0 = j0.astype(jnp.int32)
+
+    def at(ii, jj):
+        ii_c = jnp.clip(ii, 0, h - 1)
+        jj_c = jnp.clip(jj, 0, w - 1)
+        return data[ii_c, jj_c]
+
+    v00 = at(i0, j0)
+    v01 = at(i0, j0 + 1)
+    v10 = at(i0 + 1, j0)
+    v11 = at(i0 + 1, j0 + 1)
+
+    top = v00 * (1.0 - dj) + v01 * dj
+    bot = v10 * (1.0 - dj) + v11 * dj
+    out = top * (1.0 - di) + bot * di
+
+    # xarray.interp extrapolation rule: NaN as soon as the sample point lies
+    # outside the [first, last] cell-center range in either axis.
+    inside = (fi >= 0.0) & (fi <= h - 1) & (fj >= 0.0) & (fj <= w - 1)
+    return jnp.where(inside, out, fill_value)
+
+
+def sample_grid_nearest(
+    data: jax.Array,
+    xs: jax.Array,
+    ys: jax.Array,
+    x0: float,
+    y1: float,
+    res: float,
+    fill_value: float = jnp.nan,
+) -> jax.Array:
+    """Nearest-neighbour sampling (selective_tile's interpolate=False path uses
+    exact-coordinate selection; nearest at cell centers is identical)."""
+    h, w = data.shape
+    fj = (xs - x0) / res - 0.5
+    fi = (y1 - ys) / res - 0.5
+    i = jnp.round(fi).astype(jnp.int32)
+    j = jnp.round(fj).astype(jnp.int32)
+    inside = (i >= 0) & (i < h) & (j >= 0) & (j < w)
+    out = data[jnp.clip(i, 0, h - 1), jnp.clip(j, 0, w - 1)]
+    return jnp.where(inside, out, fill_value)
+
+
+def window_coords(
+    bounds: Tuple[float, float, float, float],  # (xmin, ymin, xmax, ymax)
+    resolution: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """Target cell-center coordinates for a window at a given resolution —
+    exactly selective_tile's linspace construction (data_prep.py:695-696):
+    y from top-halfpix down to bottom+halfpix, x from left+halfpix up."""
+    xmin, ymin, xmax, ymax = bounds
+    half = resolution / 2.0
+    ny = int(round((ymax - ymin) / resolution))
+    nx = int(round((xmax - xmin) / resolution))
+    ys = jnp.linspace(ymax - half, ymin + half, ny)
+    xs = jnp.linspace(xmin + half, xmax - half, nx)
+    return xs, ys

@@ -1,0 +1,23 @@
+"""Device-mesh parallelism.
+
+The reference is single-device (SURVEY.md section 2.2): its only parallelism is
+share-nothing HPO across GPUs. Here the TPU-native equivalents:
+
+- data parallel training: batch axis sharded over the mesh, parameters
+  replicated; XLA inserts the gradient/batch-norm collectives over ICI from the
+  sharding annotations alone (GSPMD) — no hand-written psums;
+- tile-parallel inference: the continent's tile grid sharded over the mesh —
+  the spatial analogue of context parallelism, with the 18-px halo handled by
+  redundant overlapping reads from the replicated (or band-streamed) inputs.
+"""
+
+from deepbedmap_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated,
+)
+from deepbedmap_tpu.parallel.api import (  # noqa: F401
+    make_sharded_train_step,
+    sharded_predict_tiles,
+    stitch_tiles,
+)

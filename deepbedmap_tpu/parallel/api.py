@@ -1,0 +1,103 @@
+"""Sharded training and inference entry points.
+
+Training: the fused D+G step (train.steps) jitted with the batch dict sharded
+on its leading axis and state replicated. GSPMD turns the batch-mean reductions
+(losses, BatchNorm statistics) into ICI collectives, so the math — including
+cross-device synchronised BN, which the single-device reference trivially has —
+is *global-batch* exact, and parameter updates are replicated-consistent.
+
+Inference: the tile grid is flattened, padded to a multiple of the mesh size,
+and sharded on the tile axis; every device scans its own tiles against the
+replicated (region-scale) input rasters. ``stitch_tiles`` reassembles the
+canvas with pure reshapes/transposes, which GSPMD handles on sharded inputs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deepbedmap_tpu.config import LossConfig, TrainConfig
+from deepbedmap_tpu.inference.engine import TilePlan, make_tile_forward, pad_inputs
+from deepbedmap_tpu.models.discriminator import Discriminator
+from deepbedmap_tpu.models.generator import Generator
+from deepbedmap_tpu.parallel.mesh import batch_sharding, replicated
+from deepbedmap_tpu.train.steps import make_train_step
+
+
+def make_sharded_train_step(
+    mesh: Mesh,
+    g_model: Generator,
+    d_model: Discriminator,
+    t_cfg: TrainConfig = TrainConfig(),
+    loss_cfg: LossConfig = LossConfig(),
+):
+    """jit the fused train step with batch sharded / state replicated."""
+    step = make_train_step(g_model, d_model, t_cfg, loss_cfg)
+    data = batch_sharding(mesh, t_cfg.data_axis)
+    repl = replicated(mesh)
+    batch_shardings = {k: data for k in ("X", "W1", "W2", "W3", "Y")}
+    return jax.jit(
+        step,
+        in_shardings=(repl, batch_shardings),
+        out_shardings=(repl, repl),
+        donate_argnums=0,
+    )
+
+
+def sharded_predict_tiles(
+    forward_fn: Callable[..., jax.Array],
+    inputs: Dict[str, jax.Array],
+    plan: TilePlan,
+    mesh: Mesh,
+    axis_name: str = "data",
+    pad_mode: str = "edge",
+) -> jax.Array:
+    """Predict all tiles of the plan, tile axis sharded over the mesh.
+
+    Returns (num_tiles, tile_out, tile_out) sharded on axis 0 (padded tiles
+    beyond the real grid are dropped before returning).
+    """
+    n_dev = mesh.devices.size
+    gy, gx = plan.grid
+    num = plan.num_tiles
+    num_padded = -(-num // n_dev) * n_dev
+
+    tile_forward = make_tile_forward(forward_fn, plan)
+
+    def predict(padded_inputs, tile_ids):
+        def body(_, t):
+            ty, tx = t // gx, t % gx
+            tile = tile_forward(padded_inputs, ty, tx)
+            return None, tile[0, :, :, 0]
+
+        _, tiles = jax.lax.scan(body, None, tile_ids)
+        return tiles
+
+    # shard_map (not plain GSPMD jit): a lax.scan is sequential, so the tile
+    # loop must be split *before* tracing — each device scans only its shard.
+    sharded = jax.jit(
+        jax.shard_map(
+            predict,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name)),
+            out_specs=P(axis_name),
+        )
+    )
+    tile_ids = jnp.arange(num_padded) % num  # wrap padding tiles (recomputed, dropped)
+    padded_inputs = pad_inputs(inputs, plan, pad_mode)
+    tiles = sharded(padded_inputs, tile_ids)
+    return tiles[:num]
+
+
+def stitch_tiles(tiles: jax.Array, plan: TilePlan) -> jax.Array:
+    """(num_tiles, T, T) row-major tiles -> (out_h, out_w) canvas."""
+    gy, gx = plan.grid
+    t = plan.tile_out
+    return (
+        tiles.reshape(gy, gx, t, t).transpose(0, 2, 1, 3).reshape(plan.out_h, plan.out_w)
+    )

@@ -1,0 +1,191 @@
+"""Data-layer tests mirroring the reference doctests: selective_tile golden
+array (data_prep.py:640-656), get_window_bounds golden (data_prep.py:513-521),
+raster round-trips, GeoTIFF codec, projection sanity."""
+
+import numpy as np
+import pytest
+
+from deepbedmap_tpu.data import geotiff
+from deepbedmap_tpu.data.proj import lonlat_to_xy, parallel_radius, xy_to_lonlat
+from deepbedmap_tpu.data.raster import Raster, read_netcdf, write_netcdf
+from deepbedmap_tpu.data.tiler import selective_tile
+from deepbedmap_tpu.data.windows import (
+    filter_within_polygon,
+    get_window_bounds,
+)
+
+
+def _diag_raster():
+    # the reference selective_tile doctest grid: flipud(diag(arange(8))),
+    # y = linspace(7, 0, 8), x = linspace(0, 7, 8)  (data_prep.py:640-644)
+    data = np.flipud(np.diag(np.arange(8))).astype(np.float32)
+    return Raster.from_centers(data, x=np.linspace(0, 7, 8), y=np.linspace(7, 0, 8))
+
+
+def test_selective_tile_golden():
+    raster = _diag_raster()
+    tiles = selective_tile(
+        raster, [(0.5, 0.5, 2.5, 2.5), (2.5, 1.5, 4.5, 3.5)]
+    )
+    expected = np.array(
+        [[[[0.0, 2.0], [1.0, 0.0]]], [[[3.0, 0.0], [0.0, 0.0]]]], np.float32
+    )
+    np.testing.assert_array_equal(tiles, expected)
+
+
+def test_selective_tile_padding_and_gapfill():
+    raster = _diag_raster()
+    # padding 2 reaches outside the grid (outermost centers fall past the
+    # first/last cell centers) -> NaN -> gapfilled
+    tiles = selective_tile(
+        raster, [(0.5, 0.5, 2.5, 2.5)], padding=2.0, gapfiller=-99.0
+    )
+    assert tiles.shape == (1, 1, 6, 6)
+    assert (tiles == -99.0).any()
+    # interior must be unchanged
+    np.testing.assert_array_equal(
+        tiles[0, 0, 2:4, 2:4], np.array([[0.0, 2.0], [1.0, 0.0]], np.float32)
+    )
+
+
+def test_selective_tile_resolution_resample():
+    raster = _diag_raster()
+    tiles = selective_tile(raster, [(0.5, 0.5, 4.5, 4.5)], resolution=2.0)
+    assert tiles.shape == (1, 1, 2, 2)
+
+
+def test_get_window_bounds_golden():
+    # reference doctest: 40x36 zeros, y 0.5..39.5, x 0.5..35.5 ->
+    # [(0.0, 4.0, 36.0, 40.0), (0.0, 1.0, 36.0, 37.0)]  (data_prep.py:513-521)
+    raster = Raster.from_centers(
+        np.zeros((40, 36)), x=np.arange(0.5, 36.5), y=np.arange(0.5, 40.5)
+    )
+    bounds = get_window_bounds(raster)
+    assert bounds == [(0.0, 4.0, 36.0, 40.0), (0.0, 1.0, 36.0, 37.0)]
+
+
+def test_get_window_bounds_masks_nan():
+    data = np.zeros((40, 36))
+    # ascending-y row 2 -> top-down row 37: poisons only the lower window
+    # (top-down rows 3-38), keeping the first window (rows 0-35)
+    data[2, 10] = np.nan
+    raster = Raster.from_centers(
+        data, x=np.arange(0.5, 36.5), y=np.arange(0.5, 40.5)
+    )
+    bounds = get_window_bounds(raster)
+    assert bounds == [(0.0, 4.0, 36.0, 40.0)]
+
+
+def test_filter_within_polygon():
+    square = np.array([[0, 0], [100, 0], [100, 100], [0, 100]], np.float64)
+    windows = [
+        (10, 10, 20, 20),  # inside
+        (95, 95, 105, 105),  # corner outside but within 10 buffer
+        (200, 200, 210, 210),  # far outside
+    ]
+    assert filter_within_polygon(windows, square, buffer=10.0) == [0, 1]
+
+
+def test_netcdf_roundtrip(tmp_path):
+    raster = _diag_raster()
+    path = str(tmp_path / "grid.nc")
+    write_netcdf(raster, path)
+    back = read_netcdf(path)
+    np.testing.assert_array_equal(back.data, raster.data)
+    assert back.left == raster.left and back.top == raster.top
+    assert back.res == raster.res
+
+
+@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize(
+    "dtype", [np.int16, np.float32]
+)
+def test_geotiff_roundtrip(tmp_path, compress, tiled, dtype):
+    rs = np.random.RandomState(0)
+    if np.issubdtype(dtype, np.integer):
+        data = rs.randint(-3000, 4000, size=(37, 53)).astype(dtype)
+    else:
+        data = rs.randn(37, 53).astype(dtype)
+    path = str(tmp_path / "t.tif")
+    geotiff.write_geotiff(
+        path, data, left=-100.0, top=250.0, res=2.5, nodata=-2000,
+        compress=compress, tiled=tiled, tile_size=16,
+    )
+    back, meta = geotiff.read_geotiff(path)
+    np.testing.assert_array_equal(back, data)
+    assert meta["left"] == -100.0 and meta["top"] == 250.0 and meta["res"] == 2.5
+    assert meta["nodata"] == -2000
+    assert meta["crs_epsg"] == 3031
+
+
+def test_geotiff_bigtiff_roundtrip(tmp_path):
+    data = np.arange(64 * 48, dtype=np.int16).reshape(64, 48)
+    path = str(tmp_path / "big.tif")
+    geotiff.write_geotiff(
+        path, data, left=0.0, top=64.0, res=1.0, bigtiff=True, compress=True
+    )
+    back, meta = geotiff.read_geotiff(path)
+    np.testing.assert_array_equal(back, data)
+    assert meta["res"] == 1.0
+
+
+def test_lzw_roundtrip():
+    rs = np.random.RandomState(1)
+    for payload in [
+        b"",
+        b"A",
+        b"TOBEORNOTTOBEORTOBEORNOT",
+        rs.randint(0, 256, 10000).astype(np.uint8).tobytes(),
+        (b"\x00" * 5000) + rs.bytes(100),
+    ]:
+        assert geotiff.lzw_decode(geotiff.lzw_encode(payload)) == payload
+
+
+def test_geotiff_interop_with_libtiff(tmp_path):
+    """Cross-validate the LZW codec against an independent implementation
+    (PIL/libtiff) in both directions."""
+    from PIL import Image
+
+    rs = np.random.RandomState(0)
+    data = rs.randint(-3000, 4000, size=(200, 300)).astype(np.int16)
+    ours = str(tmp_path / "ours.tif")
+    geotiff.write_geotiff(ours, data, left=0, top=200, res=1, compress=True)
+    np.testing.assert_array_equal(np.array(Image.open(ours)), data)
+
+    img = rs.randint(0, 255, size=(200, 300)).astype(np.uint8)
+    theirs = str(tmp_path / "pil.tif")
+    Image.fromarray(img).save(theirs, compression="tiff_lzw")
+    back, _ = geotiff.read_geotiff(theirs)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_projection_roundtrip_and_scale():
+    rs = np.random.RandomState(0)
+    lon = rs.uniform(-180, 180, 100)
+    lat = rs.uniform(-89.9, -60, 100)
+    x, y = lonlat_to_xy(lon, lat)
+    lon2, lat2 = xy_to_lonlat(x, y)
+    # wrap-safe longitude comparison
+    dlon = (np.asarray(lon2) - lon + 180) % 360 - 180
+    np.testing.assert_allclose(dlon, 0, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    # true scale on the -71 parallel: map radius == true parallel radius
+    x71, y71 = lonlat_to_xy(0.0, -71.0)
+    np.testing.assert_allclose(
+        np.hypot(x71, y71), parallel_radius(-71.0), rtol=1e-12
+    )
+    # south pole at origin; y positive toward lon 0, x toward lon 90E
+    x0, y0 = lonlat_to_xy(0.0, -90.0)
+    assert abs(x0) < 1e-6 and abs(y0) < 1e-6
+    xe, ye = lonlat_to_xy(90.0, -80.0)
+    assert xe > 0 and abs(ye) < 1e-6
+
+
+def test_raster_bounds():
+    # centers 0..7 with res 1 -> outer bounds extend half a pixel past
+    raster = _diag_raster()
+    assert raster.bounds == (-0.5, -0.5, 7.5, 7.5)
+    np.testing.assert_allclose(raster.x_centers, np.arange(8.0))
+    np.testing.assert_allclose(raster.y_centers, 7.0 - np.arange(8.0))

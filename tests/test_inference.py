@@ -1,0 +1,84 @@
+"""Inference engine tests: tiling geometry, seam equivalence (tiled == untiled),
+and mesh-sharded tile prediction on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepbedmap_tpu.config import GeneratorConfig
+from deepbedmap_tpu.inference import (
+    TilePlan,
+    predict_region,
+    predict_region_tiled,
+)
+from deepbedmap_tpu.models import Generator, build_generator
+from deepbedmap_tpu.parallel import make_mesh, sharded_predict_tiles, stitch_tiles
+
+TINY_G = GeneratorConfig(num_residual_blocks=1)
+
+
+def _region_inputs(plan, seed=0):
+    rs = np.random.RandomState(seed)
+    lh, lw = plan.lr_shape
+    return {
+        "X": jnp.asarray(rs.rand(1, lh, lw, 1), jnp.float32),
+        "W1": jnp.asarray(rs.rand(1, 10 * lh, 10 * lw, 1), jnp.float32),
+        "W2": jnp.asarray(rs.rand(1, 2 * lh, 2 * lw, 2), jnp.float32),
+        "W3": jnp.asarray(rs.rand(1, lh, lw, 1), jnp.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def forward():
+    model, params = build_generator(TINY_G)
+
+    def forward_fn(x, w1, w2, w3):
+        return model.apply({"params": params}, x, w1, w2, w3)
+
+    return forward_fn
+
+
+def test_plan_reference_geometry():
+    # the whole-Antarctica numbers (deepbedmap.py:691-698)
+    plan = TilePlan(out_h=18000, out_w=22000)
+    assert plan.grid == (18, 22)
+    assert plan.num_tiles == 396
+    assert plan.tile_lr == 250
+    assert plan.crop_lr == 288  # 250 + 2*(18+1)
+    assert plan.discard_hr == 72  # 18 * 4
+
+
+def test_tiled_equals_untiled(forward):
+    """Stitching must be seamless: the tiled scan and the single-shot forward
+    agree everywhere (same padded inputs, conv locality)."""
+    plan = TilePlan(out_h=64, out_w=96, tile_out=32, halo_lr=4)
+    inputs = _region_inputs(plan)
+    tiled = jax.jit(lambda i: predict_region_tiled(forward, i, plan))(inputs)
+    whole = jax.jit(lambda i: predict_region(forward, i, plan))(inputs)
+    assert tiled.shape == whole.shape == (1, 64, 96, 1)
+    np.testing.assert_allclose(
+        np.asarray(tiled), np.asarray(whole), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sharded_tiles_match_single_device(forward):
+    plan = TilePlan(out_h=64, out_w=96, tile_out=32, halo_lr=4)
+    inputs = _region_inputs(plan)
+    mesh = make_mesh(8)
+    tiles = sharded_predict_tiles(forward, inputs, plan, mesh)
+    assert tiles.shape == (plan.num_tiles, 32, 32)
+    canvas = stitch_tiles(tiles, plan)
+    whole = jax.jit(lambda i: predict_region(forward, i, plan))(inputs)
+    np.testing.assert_allclose(
+        np.asarray(canvas), np.asarray(whole)[0, :, :, 0], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sharded_uneven_tiles(forward):
+    # 6 tiles over 8 devices: padding tiles must be computed and dropped
+    plan = TilePlan(out_h=32, out_w=96, tile_out=32, halo_lr=2)
+    inputs = _region_inputs(plan)
+    mesh = make_mesh(8)
+    tiles = sharded_predict_tiles(forward, inputs, plan, mesh)
+    assert tiles.shape == (3, 32, 32)

@@ -93,7 +93,7 @@ def _deform_conv_reference(x, offsets, weight, bias, padding=1):
     return out.astype(np.float32)
 
 
-def test_deform_conv_matches_reference(rng):
+def test_deform_conv_gather_matches_reference(rng):
     n, h, w, c_in, c_out = 2, 5, 6, 3, 4
     x = rng.randn(n, h, w, c_in).astype(np.float32)
     offsets = (rng.randn(n, h, w, 18) * 1.5).astype(np.float32)
@@ -101,10 +101,55 @@ def test_deform_conv_matches_reference(rng):
     bias = rng.randn(c_out).astype(np.float32)
 
     ours = deform_conv2d(
-        jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight), jnp.asarray(bias)
+        jnp.asarray(x),
+        jnp.asarray(offsets),
+        jnp.asarray(weight),
+        jnp.asarray(bias),
+        method="gather",
     )
     ref = _deform_conv_reference(x, offsets, weight, bias)
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_deform_conv_shifts_matches_gather(rng):
+    """The TPU fast path (masked shifts) is exact vs. the gather path whenever
+    offsets lie inside the clamp window."""
+    n, h, w, c_in, c_out = 2, 7, 6, 3, 4
+    x = rng.randn(n, h, w, c_in).astype(np.float32)
+    # offsets spanning the full clamp window incl. negatives and boundaries
+    offsets = (rng.rand(n, h, w, 18) * 4.0 - 2.0).astype(np.float32)
+    offsets[0, 0, 0, :] = 2.0  # exact boundary
+    offsets[0, 1, 1, :] = -2.0
+    weight = rng.randn(3, 3, c_in, c_out).astype(np.float32)
+    bias = rng.randn(c_out).astype(np.float32)
+
+    args = (jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight), jnp.asarray(bias))
+    via_gather = deform_conv2d(*args, method="gather")
+    via_shifts = deform_conv2d(*args, method="shifts", clamp=2)
+    np.testing.assert_allclose(
+        np.asarray(via_shifts), np.asarray(via_gather), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_deform_conv_shifts_clamps_large_offsets(rng):
+    """Out-of-window offsets are clamped, equivalent to gather on pre-clamped
+    offsets."""
+    n, h, w, c_in, c_out = 1, 5, 5, 2, 3
+    x = rng.randn(n, h, w, c_in).astype(np.float32)
+    offsets = (rng.randn(n, h, w, 18) * 10.0).astype(np.float32)
+    weight = rng.randn(3, 3, c_in, c_out).astype(np.float32)
+
+    via_shifts = deform_conv2d(
+        jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight), method="shifts",
+        clamp=2,
+    )
+    clamped = np.clip(offsets, -2.0, 2.0)
+    via_gather = deform_conv2d(
+        jnp.asarray(x), jnp.asarray(clamped), jnp.asarray(weight), method="gather"
+    )
+    np.testing.assert_allclose(
+        np.asarray(via_shifts), np.asarray(via_gather), rtol=1e-4, atol=1e-4
+    )
 
 
 def test_deform_conv_zero_offsets_is_plain_conv(rng):

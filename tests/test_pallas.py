@@ -1,0 +1,48 @@
+"""Pallas kernel tests (run in interpret mode on the CPU mesh; the real-TPU
+path is exercised by bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepbedmap_tpu.ops.deform_conv import deform_conv2d
+from deepbedmap_tpu.ops.pallas_kernels import deform_conv2d_pallas
+
+
+@pytest.fixture
+def case(rng):
+    n, h, w, c_in, c_out = 1, 9, 13, 8, 16
+    x = rng.randn(n, h, w, c_in).astype(np.float32)
+    offsets = (rng.rand(n, h, w, 18) * 4.0 - 2.0).astype(np.float32)
+    weight = rng.randn(3, 3, c_in, c_out).astype(np.float32)
+    bias = rng.randn(c_out).astype(np.float32)
+    return map(jnp.asarray, (x, offsets, weight, bias))
+
+
+def test_pallas_matches_shifts(case):
+    x, offsets, weight, bias = case
+    via_shifts = deform_conv2d(x, offsets, weight, bias, method="shifts", clamp=2)
+    via_pallas = deform_conv2d_pallas(
+        x, offsets, weight, bias, clamp=2, block=(8, 8), interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(via_pallas), np.asarray(via_shifts), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pallas_method_is_differentiable(case):
+    x, offsets, weight, bias = case
+
+    def loss(w, o):
+        out = deform_conv2d(x, o, w, bias, method="pallas", clamp=2)
+        return jnp.sum(out**2)
+
+    def loss_shifts(w, o):
+        out = deform_conv2d(x, o, w, bias, method="shifts", clamp=2)
+        return jnp.sum(out**2)
+
+    gw, go = jax.grad(loss, argnums=(0, 1))(weight, offsets)
+    gw_ref, go_ref = jax.grad(loss_shifts, argnums=(0, 1))(weight, offsets)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(go), np.asarray(go_ref), rtol=2e-4, atol=2e-4)
