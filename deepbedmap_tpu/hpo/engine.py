@@ -1,0 +1,355 @@
+"""HPO engine: trials, TPE-lite sampling, rung-based pruning, sqlite storage.
+
+API mirrors the subset of Optuna the reference objective uses
+(srgan_train.py:1479-1757): suggest_float (with optional step — Optuna's
+discrete_uniform), suggest_int, report/should_prune, FixedTrial-style enqueue,
+study.best_trial / trials_dataframe, sqlite-backed multi-process studies
+(the reference's share-nothing per-GPU parallelism, SURVEY.md section 2.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+import random
+import sqlite3
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+
+class TrialPruned(Exception):
+    """Raised inside an objective to stop an unpromising trial."""
+
+
+class TrialState:
+    RUNNING = "RUNNING"
+    COMPLETE = "COMPLETE"
+    PRUNED = "PRUNED"
+    FAIL = "FAIL"
+
+
+@dataclasses.dataclass
+class FrozenTrial:
+    number: int
+    state: str
+    value: Optional[float]
+    params: Dict[str, float]
+    intermediate: Dict[int, float]
+
+
+class Trial:
+    def __init__(self, study: "Study", number: int, fixed: Optional[Dict] = None):
+        self.study = study
+        self.number = number
+        self.params: Dict[str, float] = {}
+        self.intermediate: Dict[int, float] = {}
+        self._fixed = fixed or {}
+
+    # ---- suggest API ----
+    def _suggest(self, name, low, high, step=None, log=False, is_int=False):
+        if name in self._fixed:
+            value = self._fixed[name]
+        elif name in self.params:
+            return self.params[name]
+        else:
+            value = self.study._sample(name, low, high, step, log, is_int)
+        if step is not None:
+            value = low + round((value - low) / step) * step
+            value = min(max(value, low), high)
+        if is_int:
+            value = int(round(value))
+        self.params[name] = value
+        self.study._record_param(self.number, name, value, low, high, step, log, is_int)
+        return value
+
+    def suggest_float(self, name, low, high, step=None, log=False):
+        return float(self._suggest(name, low, high, step, log, is_int=False))
+
+    # Optuna's deprecated alias used by the reference (srgan_train.py:1484)
+    def suggest_discrete_uniform(self, name, low, high, q):
+        return self.suggest_float(name, low, high, step=q)
+
+    def suggest_int(self, name, low, high, step=1):
+        return self._suggest(name, low, high, float(step), False, is_int=True)
+
+    def suggest_categorical(self, name, choices: Sequence):
+        if name in self._fixed:
+            value = self._fixed[name]
+        else:
+            idx = self.study._sample(name, 0, len(choices) - 1, 1.0, False, True)
+            value = choices[int(idx)]
+        self.params[name] = value
+        self.study._record_param(
+            self.number, name, choices.index(value), 0, len(choices) - 1, 1.0,
+            False, True,
+        )
+        return value
+
+    # ---- pruning API ----
+    def report(self, value: float, step: int) -> None:
+        self.intermediate[step] = float(value)
+        self.study._record_intermediate(self.number, step, float(value))
+
+    def should_prune(self) -> bool:
+        return self.study._should_prune(self)
+
+
+class Study:
+    """Minimize/maximize study with optional sqlite persistence."""
+
+    def __init__(
+        self,
+        direction: str = "minimize",
+        storage: Optional[str] = None,
+        study_name: str = "default",
+        sampler_seed: Optional[int] = None,
+        n_startup_trials: int = 10,
+        pruner: str = "halving",  # 'halving' | 'median' | 'none'
+        min_resource: int = 15,
+        reduction_factor: int = 3,
+    ):
+        assert direction in ("minimize", "maximize")
+        self.direction = direction
+        self.study_name = study_name
+        self.n_startup_trials = n_startup_trials
+        self.pruner = pruner
+        self.min_resource = min_resource
+        self.reduction_factor = reduction_factor
+        self._rng = random.Random(sampler_seed)
+        self.trials: List[FrozenTrial] = []
+        self._db: Optional[sqlite3.Connection] = None
+        if storage is not None:
+            path = storage.replace("sqlite:///", "")
+            dirname = os.path.dirname(path)
+            if dirname:
+                os.makedirs(dirname, exist_ok=True)
+            self._db = sqlite3.connect(path, timeout=60.0)
+            self._init_db()
+            self._load_trials()
+
+    # ---- storage ----
+    def _init_db(self):
+        with self._db:
+            self._db.execute(
+                "CREATE TABLE IF NOT EXISTS trials (study TEXT, number INTEGER, "
+                "state TEXT, value REAL, params TEXT, intermediate TEXT, "
+                "ts REAL, PRIMARY KEY (study, number))"
+            )
+
+    def _load_trials(self):
+        rows = self._db.execute(
+            "SELECT number, state, value, params, intermediate FROM trials "
+            "WHERE study=? ORDER BY number",
+            (self.study_name,),
+        ).fetchall()
+        self.trials = [
+            FrozenTrial(
+                number=n,
+                state=s,
+                value=v,
+                params=json.loads(p or "{}"),
+                intermediate={int(k): vv for k, vv in json.loads(i or "{}").items()},
+            )
+            for n, s, v, p, i in rows
+        ]
+
+    def _persist(self, trial: Trial, state: str, value: Optional[float]):
+        if self._db is None:
+            return
+        with self._db:
+            self._db.execute(
+                "INSERT OR REPLACE INTO trials VALUES (?,?,?,?,?,?,?)",
+                (
+                    self.study_name,
+                    trial.number,
+                    state,
+                    value,
+                    json.dumps(trial.params),
+                    json.dumps(trial.intermediate),
+                    time.time(),
+                ),
+            )
+
+    def _record_param(self, number, name, value, low, high, step, log, is_int):
+        pass  # parameter domains are re-declared by each suggest call
+
+    def _record_intermediate(self, number, step, value):
+        pass
+
+    # ---- sampling ----
+    def _sample(self, name, low, high, step, log, is_int):
+        completed = [
+            t for t in self.trials if t.state == TrialState.COMPLETE and name in t.params
+        ]
+        if len(completed) < self.n_startup_trials:
+            return self._random(low, high, log)
+        return self._tpe(name, completed, low, high, log)
+
+    def _random(self, low, high, log):
+        if log:
+            return math.exp(self._rng.uniform(math.log(low), math.log(high)))
+        return self._rng.uniform(low, high)
+
+    def _tpe(self, name, completed, low, high, log, n_candidates=24, gamma=0.25):
+        """Univariate Parzen-estimator sampling (TPE-lite)."""
+        ordered = sorted(
+            completed,
+            key=lambda t: t.value if self.direction == "minimize" else -t.value,
+        )
+        n_good = max(1, int(math.ceil(gamma * len(ordered))))
+        good = [float(t.params[name]) for t in ordered[:n_good]]
+        bad = [float(t.params[name]) for t in ordered[n_good:]] or good
+
+        def transform(v):
+            return math.log(v) if log else v
+
+        lo, hi = transform(low), transform(high)
+        good_t = [transform(v) for v in good]
+        bad_t = [transform(v) for v in bad]
+        bandwidth = max((hi - lo) / 10.0, 1e-12)
+
+        def kde(points, x):
+            return sum(
+                math.exp(-0.5 * ((x - p) / bandwidth) ** 2) for p in points
+            ) / (len(points) * bandwidth) + 1e-12
+
+        best_x, best_score = None, -math.inf
+        for _ in range(n_candidates):
+            center = self._rng.choice(good_t)
+            x = self._rng.gauss(center, bandwidth)
+            x = min(max(x, lo), hi)
+            score = math.log(kde(good_t, x)) - math.log(kde(bad_t, x))
+            if score > best_score:
+                best_x, best_score = x, score
+        return math.exp(best_x) if log else best_x
+
+    # ---- pruning ----
+    def _should_prune(self, trial: Trial) -> bool:
+        if self.pruner == "none" or not trial.intermediate:
+            return False
+        step = max(trial.intermediate)
+        value = trial.intermediate[step]
+        if self.pruner == "halving":
+            # successive-halving rungs at min_resource * factor^k
+            rung = None
+            resource = self.min_resource
+            while resource <= step:
+                rung = resource
+                resource *= self.reduction_factor
+            if rung is None:
+                return False
+            peers = [
+                min(t.intermediate[s] for s in t.intermediate if s <= rung)
+                if self.direction == "minimize"
+                else max(t.intermediate[s] for s in t.intermediate if s <= rung)
+                for t in self.trials
+                if t.intermediate and max(t.intermediate) >= rung
+            ]
+            if len(peers) < self.reduction_factor:
+                return False
+            peers_sorted = sorted(peers, reverse=(self.direction == "maximize"))
+            keep = max(1, len(peers_sorted) // self.reduction_factor)
+            threshold = peers_sorted[keep - 1]
+            best_so_far = (
+                min(trial.intermediate.values())
+                if self.direction == "minimize"
+                else max(trial.intermediate.values())
+            )
+            return (
+                best_so_far > threshold
+                if self.direction == "minimize"
+                else best_so_far < threshold
+            )
+        # median pruner
+        peers = [
+            t.intermediate.get(step)
+            for t in self.trials
+            if t.intermediate.get(step) is not None
+        ]
+        if len(peers) < 3:
+            return False
+        median = sorted(peers)[len(peers) // 2]
+        return value > median if self.direction == "minimize" else value < median
+
+    # ---- driving ----
+    def ask(self, fixed: Optional[Dict] = None) -> Trial:
+        number = len(self.trials)
+        trial = Trial(self, number, fixed)
+        self.trials.append(
+            FrozenTrial(number, TrialState.RUNNING, None, trial.params, {})
+        )
+        return trial
+
+    def tell(self, trial: Trial, state: str, value: Optional[float]):
+        frozen = self.trials[trial.number]
+        frozen.state = state
+        frozen.value = value
+        frozen.params = trial.params
+        frozen.intermediate = trial.intermediate
+        self._persist(trial, state, value)
+
+    def optimize(
+        self,
+        objective: Callable[[Trial], float],
+        n_trials: int = 10,
+        catch: tuple = (),
+    ):
+        for _ in range(n_trials):
+            if self._db is not None:
+                self._load_trials()  # pick up other processes' results
+            trial = self.ask()
+            try:
+                value = float(objective(trial))
+                self.tell(trial, TrialState.COMPLETE, value)
+            except TrialPruned:
+                self.tell(trial, TrialState.PRUNED, None)
+            except catch:
+                self.tell(trial, TrialState.FAIL, None)
+
+    @property
+    def best_trial(self) -> FrozenTrial:
+        completed = [t for t in self.trials if t.state == TrialState.COMPLETE]
+        assert completed, "no completed trials"
+        key = (lambda t: t.value) if self.direction == "minimize" else (lambda t: -t.value)
+        return min(completed, key=key)
+
+    @property
+    def best_value(self) -> float:
+        return self.best_trial.value
+
+    @property
+    def best_params(self) -> Dict[str, Any]:
+        return self.best_trial.params
+
+    def trials_dataframe(self):
+        import pandas as pd
+
+        return pd.DataFrame(
+            [
+                {
+                    "number": t.number,
+                    "state": t.state,
+                    "value": t.value,
+                    **{f"params_{k}": v for k, v in t.params.items()},
+                }
+                for t in self.trials
+            ]
+        )
+
+
+def create_study(
+    direction: str = "minimize",
+    storage: Optional[str] = None,
+    study_name: str = "default",
+    sampler_seed: Optional[int] = None,
+    **kwargs,
+) -> Study:
+    return Study(
+        direction=direction,
+        storage=storage,
+        study_name=study_name,
+        sampler_seed=sampler_seed,
+        **kwargs,
+    )

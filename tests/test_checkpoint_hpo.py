@@ -1,0 +1,119 @@
+"""Checkpoint + HPO engine tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepbedmap_tpu.config import GeneratorConfig, TrainConfig
+from deepbedmap_tpu.hpo import TrialPruned, create_study
+from deepbedmap_tpu.models import build_generator, count_params
+from deepbedmap_tpu.models.api import example_inputs_nhwc
+from deepbedmap_tpu.train import create_gan_state
+from deepbedmap_tpu.train.checkpoint import (
+    export_generator_npz,
+    import_chainer_generator_npz,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+TINY_G = GeneratorConfig(num_residual_blocks=2)
+
+
+def test_orbax_roundtrip(tmp_path):
+    state = create_gan_state(TINY_G, t_cfg=TrainConfig(batch_size=2))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(state, path)
+    template = create_gan_state(TINY_G, t_cfg=TrainConfig(batch_size=2), seed=7)
+    restored = restore_checkpoint(path, template)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chainer_npz_import_roundtrip(tmp_path):
+    """export -> import is the identity, and the imported tree runs the model
+    with identical outputs. This pins every layout transposition."""
+    model, params = build_generator(TINY_G)
+    path = str(tmp_path / "gen.npz")
+    export_generator_npz(params, path)
+    imported = import_chainer_generator_npz(path, TINY_G.num_residual_blocks)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(imported)
+    )
+    assert len(flat_a) == len(flat_b)
+    for key, value in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(value),
+            np.asarray(flat_b[jax.tree_util.keystr(key)]),
+            err_msg=jax.tree_util.keystr(key),
+        )
+
+    out_a = model.apply({"params": params}, *example_inputs_nhwc(1))
+    out_b = model.apply({"params": imported}, *example_inputs_nhwc(1))
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+
+
+def test_npz_name_contract(tmp_path):
+    """The exported npz uses the reference's Chainer parameter paths."""
+    _, params = build_generator(TINY_G)
+    path = str(tmp_path / "gen.npz")
+    export_generator_npz(params, path)
+    names = set(np.load(path).keys())
+    assert "input_block/conv_on_X/W" in names
+    assert "residual_network/0/residual_dense_block1/conv_layer1/W" in names
+    assert "final_conv_layer2/deform_conv/b" in names
+    assert "pre_residual_conv_layer/W" in names
+    # shapes follow Chainer conventions: (C_out, C_in, kh, kw)
+    arrs = np.load(path)
+    assert arrs["input_block/conv_on_W1/W"].shape == (32, 1, 30, 30)
+    assert arrs["input_block/conv_on_W2/W"].shape == (32, 2, 6, 6)
+
+
+def test_hpo_study_converges_and_prunes():
+    study = create_study(direction="minimize", sampler_seed=0, n_startup_trials=5)
+
+    def objective(trial):
+        x = trial.suggest_float("x", -10.0, 10.0)
+        lr = trial.suggest_float("lr", 1e-4, 2e-4, step=0.1e-4)
+        for step in range(30):
+            trial.report((x - 3.0) ** 2 + step * 0.0, step)
+            if trial.should_prune():
+                raise TrialPruned()
+        return (x - 3.0) ** 2
+
+    study.optimize(objective, n_trials=40)
+    assert study.best_value < 2.0  # found the basin around x=3
+    assert abs(study.best_params["x"] - 3.0) < 1.5
+    # quantised param respects the grid
+    lr = study.best_params["lr"]
+    assert abs((lr - 1e-4) / 0.1e-4 - round((lr - 1e-4) / 0.1e-4)) < 1e-9
+
+
+def test_hpo_sqlite_shared_storage(tmp_path):
+    db = f"sqlite:///{tmp_path}/study.db"
+
+    def objective(trial):
+        return trial.suggest_float("x", 0.0, 1.0) ** 2
+
+    s1 = create_study(storage=db, sampler_seed=1)
+    s1.optimize(objective, n_trials=5)
+    # a second process/studies object sees the first's trials
+    s2 = create_study(storage=db, sampler_seed=2)
+    assert len(s2.trials) == 5
+    s2.optimize(objective, n_trials=3)
+    s3 = create_study(storage=db)
+    assert len(s3.trials) == 8
+    assert s3.best_value <= s1.best_value
+
+
+def test_hpo_suggest_int_and_fixed():
+    study = create_study(sampler_seed=0)
+    trial = study.ask(fixed={"blocks": 12})
+    assert trial.suggest_int("blocks", 1, 12) == 12
+    assert isinstance(trial.suggest_int("other", 1, 4), int)
