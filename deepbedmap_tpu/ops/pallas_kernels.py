@@ -3,21 +3,27 @@
 ``deform_conv2d_pallas`` — deformable convolution v1 forward. The XLA
 masked-shifts formulation (ops.deform_conv) is algorithmically right but XLA
 materialises every shifted term through HBM (~100 GB of traffic at
-continent-tile sizes). Here the image is split into VMEM-sized spatial tiles;
-each tile (with its clamp+padding halo) is loaded into VMEM once and all
-(2*clamp+2)^2 masked shift terms per kernel tap are evaluated in-register,
-finishing with one MXU matmul per tap. HBM traffic drops to ~1.3x-read-x +
-read-offsets + write-out.
+continent-tile sizes). Here the image is split into VMEM-sized spatial tiles
+and all (2*clamp+2)^2 masked shift terms are evaluated on-chip, finishing on
+the MXU.
 
-Implementation note: the halo'd tiles are pre-extracted by XLA (a vmapped
-dynamic_slice producing a (T, bh+2B, bw+2B, C) stack) and the kernel runs a
-plain BlockSpec grid over T. An earlier variant DMA'd halo windows from HBM
-inside the kernel (`make_async_copy` on an ANY-space ref); that form hangs this
-environment's remote Mosaic compile, and the pre-extraction costs only ~30%
-extra read traffic at 64-px tiles.
+Kernel design notes (each constraint found empirically against this image's
+remote Mosaic compiler):
+- halo'd tiles are pre-extracted by XLA (vmapped dynamic_slice stack) and the
+  kernel runs a plain BlockSpec grid — in-kernel `make_async_copy` halo DMA
+  from an ANY-space ref hangs the remote compile;
+- the kernel works in channels-first (C, H, W) tile layout so the per-position
+  (h, w) masks live in the same (sublane, lane) orientation as the image and
+  broadcast across channels on the cheap batch axis;
+- the kernel tap is a *grid* dimension with the output block revisited
+  (accumulator pattern), so the body stays small enough to compile: one
+  36-term mask build + a per-channel fori_loop + one MXU matmul;
+- no loop body ever holds a full-tile SSA accumulator (that stalls the
+  compiler's allocator for minutes) — per-iteration values are (bh, bw) or
+  rows, written into VMEM scratch.
 
-Numerics match ops.deform_conv._deform_conv_shifts exactly (same decomposition,
-fp32 accumulation).
+Numerics match ops.deform_conv._deform_conv_shifts exactly (same
+decomposition, fp32 accumulation).
 """
 
 from __future__ import annotations
@@ -31,13 +37,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _deform_tile_kernel(
-    x_ref,  # (1, bh+2B, bw+2B, C) VMEM — halo'd input tile
-    off_ref,  # (1, bh, bw, 2K) VMEM
-    w_ref,  # (K, C, C_out) VMEM
+def _deform_tap_kernel(
+    x_ref,  # (1, C, bh+2B, bw+2B) VMEM — halo'd channels-first tile
+    dy_ref,  # (1, 1, bh, bw) VMEM — this tap's y-offsets
+    dx_ref,  # (1, 1, bh, bw) VMEM — this tap's x-offsets
+    w_ref,  # (K, C_out, C) VMEM — weights, tap-major, transposed
     b_ref,  # (1, C_out) VMEM
-    out_ref,  # (1, bh, bw, C_out) VMEM
-    y_scratch,  # (bh, bw, C) VMEM — per-tap sampled activations
+    out_ref,  # (1, C_out, bh, bw) VMEM — revisited across the tap grid dim
+    y_scratch,  # (C, bh, bw) VMEM — sampled activations for this tap
+    mask_scratch,  # (span*span, bh, bw) VMEM — bilinear mask weights
     *,
     bh: int,
     bw: int,
@@ -47,61 +55,70 @@ def _deform_tile_kernel(
     kh: int,
     kw: int,
 ):
-    """Mosaic-compile-friendly structure (found empirically — see module
-    docstring): the sampled activation is built row-by-row inside a fori_loop
-    whose body holds only (bw, C)-sized values, never a full (bh, bw, C) SSA
-    accumulator (that form stalls the compiler's allocator for minutes). Taps
-    stay statically unrolled so the per-(h,w) mask vectors come from *static*
-    lane selects of the NHWC offset block, landing in sublane orientation,
-    which broadcasts across the channel lanes for free."""
+    tap = pl.program_id(1)
     k = kh * kw
-    c_in = x_ref.shape[-1]
-    c_out = out_ref.shape[-1]
-    span = 2 * clamp + 2  # integer shifts per axis: [-clamp, clamp+1]
+    c_in = x_ref.shape[1]
+    c_out = out_ref.shape[1]
+    span = 2 * clamp + 2
 
-    out_ref[0] = jnp.broadcast_to(b_ref[0], (bh, bw, c_out)).astype(out_ref.dtype)
+    u = tap // kw  # dynamic tap row/col within the 3x3 kernel
+    v = tap % kw
 
-    for t in range(k):
-        u, v = t // kw, t % kw
+    dy = jnp.clip(dy_ref[0, 0].astype(jnp.float32), -clamp, clamp)
+    dx = jnp.clip(dx_ref[0, 0].astype(jnp.float32), -clamp, clamp)
+    iy = jnp.floor(dy)
+    ix = jnp.floor(dx)
+    fy = dy - iy
+    fx = dx - ix
 
-        def row_body(r, _, u=u, v=v, t=t):
-            dy = jnp.clip(off_ref[0, r, :, t].astype(jnp.float32), -clamp, clamp)
-            dx = jnp.clip(
-                off_ref[0, r, :, k + t].astype(jnp.float32), -clamp, clamp
-            )
-            iy = jnp.floor(dy)
-            ix = jnp.floor(dx)
-            fy = dy - iy
-            fx = dx - ix
+    def mask_body(s, _):
+        sy = (s // span - clamp).astype(jnp.float32)
+        sx = (s % span - clamp).astype(jnp.float32)
+        wy = (1.0 - fy) * (iy == sy) + fy * (iy == sy - 1.0)
+        wx = (1.0 - fx) * (ix == sx) + fx * (ix == sx - 1.0)
+        mask_scratch[s] = wy * wx
+        return 0
 
-            y_row = jnp.zeros((bw, c_in), jnp.float32)
-            for s in range(span * span):
-                sy = s // span - clamp
-                sx = s % span - clamp
-                wy = (1.0 - fy) * (iy == sy) + fy * (iy == sy - 1)
-                wx = (1.0 - fx) * (ix == sx) + fx * (ix == sx - 1)
-                patch = x_ref[
-                    0,
-                    big + u - padding + sy + r,
-                    big + v - padding + sx : big + v - padding + sx + bw,
-                    :,
-                ]
-                y_row = y_row + (wy * wx)[:, None] * patch
-            y_scratch[r] = y_row
-            return 0
+    jax.lax.fori_loop(0, span * span, mask_body, 0)
 
-        jax.lax.fori_loop(0, bh, row_body, 0)
+    def chan_body(c, _):
+        y = jnp.zeros((bh, bw), jnp.float32)
+        for s in range(span * span):
+            sy = s // span - clamp
+            sx = s % span - clamp
+            patch = x_ref[
+                0,
+                c,
+                pl.ds(big - padding + u + sy, bh),
+                pl.ds(big - padding + v + sx, bw),
+            ]
+            y = y + mask_scratch[s] * patch
+        y_scratch[c] = y
+        return 0
 
-        out_ref[0] = out_ref[0] + jax.lax.dot_general(
-            y_scratch[...],
-            w_ref[t],
-            (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    jax.lax.fori_loop(0, c_in, chan_body, 0)
+
+    # (C_out, C) @ (C, bh*bw) on the MXU; bw == 128 keeps the collapse free
+    contrib = jax.lax.dot_general(
+        w_ref[tap],
+        y_scratch[...].reshape(c_in, bh * bw),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(c_out, bh, bw)
+
+    @pl.when(tap == 0)
+    def _():
+        out_ref[0] = (
+            jnp.broadcast_to(b_ref[0][:, None, None], (c_out, bh, bw)) + contrib
         ).astype(out_ref.dtype)
+
+    @pl.when(tap != 0)
+    def _():
+        out_ref[0] = out_ref[0] + contrib.astype(out_ref.dtype)
 
 
 def deform_conv2d_pallas(
-    x: jax.Array,  # (N, H, W, C_in)
+    x: jax.Array,  # (N, H, W, C_in) NHWC
     offsets: jax.Array,  # (N, H, W, 2*K)
     weight: jax.Array,  # (kh, kw, C_in, C_out)
     bias: Optional[jax.Array] = None,
@@ -126,40 +143,48 @@ def deform_conv2d_pallas(
     wp = -(-w // bw) * bw
     big = padding + clamp + 1
     gy, gx = hp // bh, wp // bw
+    num_tiles = n * gy * gx
+    span = 2 * clamp + 2
 
+    # channels-first padded image, then halo'd tile stack (T, C, bh+2B, bw+2B)
+    x_cf = jnp.transpose(x, (0, 3, 1, 2))
     x_big = jnp.pad(
-        x, ((0, 0), (big, big + hp - h), (big, big + wp - w), (0, 0))
+        x_cf, ((0, 0), (0, 0), (big, big + hp - h), (big, big + wp - w))
     )
-    off_p = jnp.pad(offsets, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
-
-    # halo'd tile stack (N*T, bh+2B, bw+2B, C) via vmapped dynamic_slice
-    starts = [
-        (ni, ty * bh, tx * bw)
-        for ni in range(n)
-        for ty in range(gy)
-        for tx in range(gx)
-    ]
-    starts = jnp.asarray(starts, jnp.int32)
+    starts = jnp.asarray(
+        [
+            (ni, ty * bh, tx * bw)
+            for ni in range(n)
+            for ty in range(gy)
+            for tx in range(gx)
+        ],
+        jnp.int32,
+    )
 
     def grab(s):
         return jax.lax.dynamic_slice(
-            x_big, (s[0], s[1], s[2], 0), (1, bh + 2 * big, bw + 2 * big, c_in)
+            x_big,
+            (s[0], 0, s[1], s[2]),
+            (1, c_in, bh + 2 * big, bw + 2 * big),
         )[0]
 
     x_tiles = jax.vmap(grab)(starts)
 
-    # offsets: non-overlapping retile (pure reshape/transpose)
-    off_tiles = (
+    # offsets -> (T, K, bh, bw) dy and dx stacks
+    off_p = jnp.pad(offsets, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    off_t = (
         off_p.reshape(n, gy, bh, gx, bw, 2 * k)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(n * gy * gx, bh, bw, 2 * k)
+        .transpose(0, 1, 3, 5, 2, 4)
+        .reshape(num_tiles, 2 * k, bh, bw)
     )
+    dy_t = off_t[:, :k]
+    dx_t = off_t[:, k:]
 
-    w_flat = weight.reshape(k, c_in, c_out)
+    w_t = jnp.transpose(weight.reshape(k, c_in, c_out), (0, 2, 1))  # (K, C_out, C)
     b = jnp.zeros((1, c_out), x.dtype) if bias is None else bias.reshape(1, c_out)
 
     kernel = functools.partial(
-        _deform_tile_kernel,
+        _deform_tap_kernel,
         bh=bh,
         bw=bw,
         big=big,
@@ -169,36 +194,45 @@ def deform_conv2d_pallas(
         kw=kw,
     )
 
-    num_tiles = n * gy * gx
     out = pl.pallas_call(
         kernel,
-        grid=(num_tiles,),
+        grid=(num_tiles, k),
         in_specs=[
             pl.BlockSpec(
-                (1, bh + 2 * big, bw + 2 * big, c_in),
-                lambda t: (t, 0, 0, 0),
+                (1, c_in, bh + 2 * big, bw + 2 * big),
+                lambda t, tap: (t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, bh, bw, 2 * k), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, bh, bw), lambda t, tap: (t, tap, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (k, c_in, c_out), lambda t: (0, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, bh, bw), lambda t, tap: (t, tap, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, c_out), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (k, c_out, c_in), lambda t, tap: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, c_out), lambda t, tap: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, bh, bw, c_out), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, c_out, bh, bw), lambda t, tap: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, bh, bw, c_out), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bh, bw, c_in), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((num_tiles, c_out, bh, bw), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c_in, bh, bw), jnp.float32),
+            pltpu.VMEM((span * span, bh, bw), jnp.float32),
+        ],
         interpret=interpret,
-    )(x_tiles, off_tiles, w_flat, b)
+    )(x_tiles, dy_t, dx_t, w_t, b)
 
     # reassemble (N, H, W, C_out)
     out = (
-        out.reshape(n, gy, gx, bh, bw, c_out)
-        .transpose(0, 1, 3, 2, 4, 5)
+        out.reshape(n, gy, gx, c_out, bh, bw)
+        .transpose(0, 1, 4, 2, 5, 3)
         .reshape(n, hp, wp, c_out)
     )
     return out[:, :h, :w, :]

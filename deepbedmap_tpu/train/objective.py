@@ -1,0 +1,132 @@
+"""The end-to-end training objective (reference ``objective(trial)``,
+srgan_train.py:1479-1721), rebuilt on this framework's pieces:
+
+- hyperparameters drawn from a ``hpo.Trial`` with the reference's search space
+  (batch 2^7; lr in [1,2]e-4 step 0.1e-4; 12 RRDBs; residual scaling
+  [0.1, 0.3] step 0.05; epochs in [15, 150]) — srgan_train.py:1523-1533;
+- per-epoch: one jitted train/eval epoch, then test-RMSE via the evaluator;
+- divergence pruning (NaN losses / PSNR <= 0) and Hyperband-style pruning —
+  srgan_train.py:1698-1706;
+- checkpoint (full state, Orbax) whenever test RMSE improves —
+  srgan_train.py:1659-1669;
+- metric history returned for logging (the reference streams to Comet.ML;
+  here any sink can consume the records).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from deepbedmap_tpu.config import (
+    DiscriminatorConfig,
+    GeneratorConfig,
+    LossConfig,
+    TrainConfig,
+)
+from deepbedmap_tpu.data.dataset import TileDataset, epoch_batches, train_dev_split
+from deepbedmap_tpu.hpo import Trial, TrialPruned
+from deepbedmap_tpu.models import Discriminator, Generator
+from deepbedmap_tpu.train.checkpoint import save_checkpoint
+from deepbedmap_tpu.train.loop import _metrics_to_host, make_epoch_fns
+from deepbedmap_tpu.train.state import create_gan_state
+
+
+def suggest_reference_space(trial: Trial) -> Dict:
+    """The reference's Optuna search space (srgan_train.py:1523-1533)."""
+    return dict(
+        batch_size_exponent=trial.suggest_int("batch_size_exponent", 7, 7),
+        learning_rate=trial.suggest_float(
+            "learning_rate", 1.0e-4, 2.0e-4, step=0.1e-4
+        ),
+        num_residual_blocks=trial.suggest_int("num_residual_blocks", 12, 12),
+        residual_scaling=trial.suggest_float(
+            "residual_scaling", 0.1, 0.3, step=0.05
+        ),
+        num_epochs=trial.suggest_int("num_epochs", 15, 150),
+    )
+
+
+def objective(
+    trial: Trial,
+    dataset: TileDataset,
+    evaluate_rmse: Optional[Callable[[Dict], float]] = None,
+    checkpoint_dir: Optional[str] = None,
+    rmse_save_threshold: float = 250.0,
+    log: Optional[Callable[[int, Dict], None]] = None,
+    suggest=suggest_reference_space,
+) -> float:
+    """Train one trial; returns the best test RMSE (minimised).
+
+    ``evaluate_rmse(g_params) -> float`` supplies the fixed-test-area RMSE
+    (reference get_deepbedmap_test_result); when None, the dev-set generator
+    loss stands in so the objective works on synthetic data.
+    """
+    hp = suggest(trial)
+    batch_size = 2 ** hp["batch_size_exponent"]
+
+    g_cfg = GeneratorConfig(
+        num_residual_blocks=hp["num_residual_blocks"],
+        residual_scaling=hp["residual_scaling"],
+    )
+    t_cfg = TrainConfig(
+        learning_rate=hp["learning_rate"],
+        batch_size=min(batch_size, max(1, int(len(dataset) * 0.95))),
+    )
+    g_model = Generator(g_cfg)
+    d_model = Discriminator(DiscriminatorConfig())
+    state = create_gan_state(g_cfg, t_cfg=t_cfg)
+
+    train_idx, dev_idx = train_dev_split(
+        len(dataset), t_cfg.train_fraction, t_cfg.split_seed
+    )
+    train_fn, eval_fn = make_epoch_fns(g_model, d_model, dataset, t_cfg)
+    rs = np.random.RandomState(t_cfg.seed)
+    dev_bs = min(t_cfg.batch_size, len(dev_idx))
+    import jax.numpy as jnp
+
+    dev_batches = jnp.asarray(
+        epoch_batches(dev_idx, dev_bs, np.random.RandomState(t_cfg.split_seed))
+    )
+
+    best_rmse = math.inf
+    for epoch in range(hp["num_epochs"]):
+        batches = jnp.asarray(epoch_batches(train_idx, t_cfg.batch_size, rs))
+        state, train_metrics = train_fn(state, batches)
+        dev_metrics = eval_fn(state, dev_batches)
+        record = {
+            **_metrics_to_host(train_metrics, ""),
+            **_metrics_to_host(dev_metrics, "val_"),
+        }
+
+        if evaluate_rmse is not None:
+            rmse_test = float(evaluate_rmse(state.g_params))
+        else:
+            rmse_test = record["val_generator_loss"]
+        record["rmse_test"] = rmse_test
+        if log is not None:
+            log(epoch, record)
+
+        # divergence detection (srgan_train.py:1698-1706)
+        if (
+            math.isnan(record["generator_loss"])
+            or math.isnan(record["discriminator_loss"])
+            or record["generator_psnr"] <= 0
+        ):
+            raise TrialPruned()
+
+        if rmse_test < best_rmse:
+            best_rmse = rmse_test
+            if checkpoint_dir is not None and rmse_test < rmse_save_threshold:
+                save_checkpoint(
+                    state, os.path.join(checkpoint_dir, f"trial_{trial.number}")
+                )
+
+        trial.report(rmse_test, epoch)
+        if trial.should_prune():
+            raise TrialPruned()
+
+    return best_rmse
