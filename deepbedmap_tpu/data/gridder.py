@@ -1,0 +1,109 @@
+"""Vector -> raster gridding: blockmedian + tension-spline + masking
+(reference L1, data_prep.py:353-441).
+
+``get_region`` rounds point bounds outward to increments (gmt info -I);
+``blockmedian`` reduces points to per-cell medians; ``xyz_to_grid`` runs the
+device-side tension-spline solve (ops.spline), masks far-from-data cells, and
+resamples gridline -> pixel registration, returning a Raster.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from deepbedmap_tpu.data.raster import Raster
+from deepbedmap_tpu.ops.spline import (
+    distance_mask,
+    gridline_to_pixel,
+    solve_tension_spline,
+)
+
+
+def get_region(
+    xyz_data: pd.DataFrame, round_increment: int = 250
+) -> Tuple[float, float, float, float]:
+    """Bounding region rounded outward to the increment
+    (reference get_region via `gmt info -I`, data_prep.py:353-378).
+    Returns (xmin, xmax, ymin, ymax) — GMT's -R order."""
+    inc = float(round_increment)
+    xmin = np.floor(xyz_data.x.min() / inc) * inc
+    xmax = np.ceil(xyz_data.x.max() / inc) * inc
+    ymin = np.floor(xyz_data.y.min() / inc) * inc
+    ymax = np.ceil(xyz_data.y.max() / inc) * inc
+    return (float(xmin), float(xmax), float(ymin), float(ymax))
+
+
+def blockmedian(
+    xyz_data: pd.DataFrame,
+    region: Tuple[float, float, float, float],
+    spacing: float = 250.0,
+) -> pd.DataFrame:
+    """Per-cell median of x, y and z over a pixel-registered block grid
+    (reference gmt.blockmedian, data_prep.py:407)."""
+    xmin, xmax, ymin, ymax = region
+    df = xyz_data[
+        (xyz_data.x >= xmin)
+        & (xyz_data.x <= xmax)
+        & (xyz_data.y >= ymin)
+        & (xyz_data.y <= ymax)
+    ].copy()
+    col = np.clip(((df.x - xmin) / spacing).astype(int), 0, None)
+    row = np.clip(((df.y - ymin) / spacing).astype(int), 0, None)
+    df["_cell"] = row * (int((xmax - xmin) / spacing) + 1) + col
+    med = df.groupby("_cell")[["x", "y", "z"]].median().reset_index(drop=True)
+    return med
+
+
+def xyz_to_grid(
+    xyz_data: pd.DataFrame,
+    region: Tuple[float, float, float, float],
+    spacing: float = 250.0,
+    tension: float = 0.35,
+    mask_cell_radius: int = 3,
+    iterations: int = 500,
+) -> Raster:
+    """Grid xyz points to a pixel-registered Raster
+    (reference xyz_to_grid, data_prep.py:382-441):
+    blockmedian -> tension-spline solve on gridline nodes -> mask cells
+    > mask_cell_radius from data -> gridline->pixel resample."""
+    xmin, xmax, ymin, ymax = region
+    med = blockmedian(xyz_data, region, spacing)
+
+    # gridline-registered node grid
+    nx = int(round((xmax - xmin) / spacing)) + 1
+    ny = int(round((ymax - ymin) / spacing)) + 1
+    col = np.clip(np.round((med.x - xmin) / spacing).astype(int), 0, nx - 1)
+    row = np.clip(np.round((ymax - med.y) / spacing).astype(int), 0, ny - 1)
+
+    data = np.zeros((ny, nx), np.float32)
+    count = np.zeros((ny, nx), np.float32)
+    np.add.at(data, (row, col), med.z.astype(np.float32))
+    np.add.at(count, (row, col), 1.0)
+    has_data = count > 0
+    data[has_data] /= count[has_data]
+
+    z = np.asarray(
+        solve_tension_spline(
+            jnp.asarray(data),
+            jnp.asarray(has_data),
+            tension=tension,
+            iterations=iterations,
+        )
+    )
+
+    # mask nodes far from data, then resample to pixel registration
+    far = distance_mask(has_data, mask_cell_radius)
+    z = np.where(far, np.nan, z)
+    z_pix = np.asarray(gridline_to_pixel(jnp.asarray(z)))
+
+    return Raster(
+        data=z_pix.astype(np.float32),
+        left=float(xmin),
+        top=float(ymax),
+        res=float(spacing),
+        nodata=None,
+    )

@@ -1,0 +1,105 @@
+"""Dataset manifest: download, integrity, catalogue (reference L0,
+data_prep.py:69-242 + data_list.yml).
+
+The manifest format is the reference's YAML schema verbatim (folder, filename,
+url, sha256, doi, resolution per record); this module parses it, downloads with
+archive-member extraction, and verifies sha256 — all host-side stdlib.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tarfile
+import urllib.request
+import zipfile
+from typing import Dict, List, Optional
+
+import yaml
+
+
+DEFAULT_MANIFEST = os.path.join(os.path.dirname(__file__), "datasets.yml")
+
+
+def parse_datalist(yaml_file: str = DEFAULT_MANIFEST) -> List[Dict]:
+    """YAML manifest -> list of file records. Understands both this package's
+    flat schema (``datasets.yml``: top-level ``files`` list with name/folder/
+    url/sha256/resolution fields) and the reference's nested group schema
+    (data_list.yml, data_prep.py:133-166)."""
+    with open(yaml_file) as f:
+        doc = yaml.safe_load(f)
+    records: List[Dict] = []
+    if isinstance(doc, dict) and "files" in doc:  # flat schema
+        for entry in doc["files"]:
+            record = dict(entry)
+            record.setdefault("filename", record.get("name"))
+            records.append(record)
+        return records
+    for group in doc:  # reference nested schema
+        files = group.get("files", [group])
+        for entry in files:
+            record = {**{k: v for k, v in group.items() if k != "files"}, **entry}
+            records.append(record)
+    return records
+
+
+def check_sha256(path: str) -> str:
+    """Streaming sha256 of a file (reference check_sha256, data_prep.py:111-126)."""
+    digest = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            digest.update(chunk)
+    return digest.hexdigest()
+
+
+def download_to_path(
+    path: str, url: str, member: Optional[str] = None, overwrite: bool = False
+) -> str:
+    """Fetch a URL to ``path``; if the URL is a tgz/zip archive, extract
+    ``member`` (or the basename of ``path``) from it
+    (reference download_to_path, data_prep.py:69-107)."""
+    if os.path.exists(path) and not overwrite:
+        return path
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    if url.endswith((".tgz", ".tar.gz", ".zip")):
+        archive_path = path + os.path.splitext(url)[1]
+        urllib.request.urlretrieve(url, archive_path)
+        wanted = member or os.path.basename(path)
+        if url.endswith(".zip"):
+            with zipfile.ZipFile(archive_path) as zf:
+                names = [n for n in zf.namelist() if os.path.basename(n) == wanted]
+                assert names, f"{wanted} not in {url}"
+                with zf.open(names[0]) as src, open(path, "wb") as dst:
+                    shutil.copyfileobj(src, dst)
+        else:
+            with tarfile.open(archive_path) as tf:
+                names = [n for n in tf.getnames() if os.path.basename(n) == wanted]
+                assert names, f"{wanted} not in {url}"
+                with tf.extractfile(names[0]) as src, open(path, "wb") as dst:
+                    shutil.copyfileobj(src, dst)
+        os.remove(archive_path)
+    else:
+        urllib.request.urlretrieve(url, path)
+    return path
+
+
+def verify_datalist(
+    yaml_file: str, root: str = ".", strict: bool = True
+) -> Dict[str, bool]:
+    """Verify sha256 of every manifest file present on disk; returns
+    {path: ok}. strict=True raises on mismatch (the reference asserts,
+    data_prep.py:211-242)."""
+    results: Dict[str, bool] = {}
+    for record in parse_datalist(yaml_file):
+        if "filename" not in record or "sha256" not in record:
+            continue
+        path = os.path.join(root, record.get("folder", ""), record["filename"])
+        if not os.path.exists(path):
+            continue
+        ok = check_sha256(path) == record["sha256"]
+        results[path] = ok
+        if strict and not ok:
+            raise AssertionError(f"sha256 mismatch for {path}")
+    return results

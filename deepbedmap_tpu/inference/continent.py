@@ -1,0 +1,150 @@
+"""Whole-continent inference: row-band streaming around the tiled engine.
+
+Reference (deepbedmap.py:629-756): 22000x18000 output px from a 4500x5500 px
+BEDMAP2 canvas + conditioning rasters, predicted as 396 one-at-a-time GPU
+tiles with host-side crops. TPU-native layout here:
+
+- full-resolution conditioning rasters (the 45000x55000 REMA grid is ~10 GB
+  fp32 — larger than one chip's HBM) stay host-side as numpy arrays;
+- one *row band* of tiles at a time moves to device: the band's halo-extended
+  inputs (~350 MB fp32 at reference scale) transfer once, every tile of the
+  band is predicted from device-resident data in a jitted scan, and one
+  (tile_out, out_w) strip returns to the host canvas;
+- vertical halos between bands are REAL rows from the neighbouring bands, so
+  band-streamed output is bit-identical to the whole-region engine; edge
+  bands use the same edge-replicate padding as the engine;
+- conditioning clipping (>= 0 for surface/velocity/accumulation,
+  deepbedmap.py:663-665) runs on device per band.
+
+The int16 LZW GeoTIFF write goes through ``data.geotiff`` (native codec) —
+see ``save_continent_dem``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepbedmap_tpu.inference.engine import INPUT_RATIOS, TilePlan
+
+
+def _make_band_predictor(
+    forward_fn: Callable[..., jax.Array],
+    plan: TilePlan,
+    clip_conditioning: bool,
+):
+    """jitted (band_inputs with vertical halo) -> (tile_out, out_w) strip."""
+    gx = plan.grid[1]
+    ratioed = {k: r for k, r in INPUT_RATIOS.items()}
+
+    @jax.jit
+    def band_predict(band_inputs: Dict[str, jax.Array]) -> jax.Array:
+        if clip_conditioning:
+            band_inputs = {
+                "X": band_inputs["X"],
+                "W1": jnp.maximum(band_inputs["W1"], 0.0),
+                "W2": jnp.maximum(band_inputs["W2"], 0.0),
+                "W3": jnp.maximum(band_inputs["W3"], 0.0),
+            }
+        # horizontal halo: edge padding (region borders); vertical halo is
+        # already present in the band rows
+        padded = {}
+        for key, ratio in ratioed.items():
+            p = plan.pad_lr * ratio
+            padded[key] = jnp.pad(
+                band_inputs[key], ((0, 0), (0, 0), (p, p), (0, 0)), mode="edge"
+            )
+
+        def tile(tx):
+            crops = {}
+            for key, ratio in ratioed.items():
+                a = padded[key]
+                size = plan.crop_lr * ratio
+                start = tx * plan.tile_lr * ratio
+                crops[key] = jax.lax.dynamic_slice(
+                    a, (0, 0, start, 0), (1, a.shape[1], size, a.shape[3])
+                )
+            pred = forward_fn(crops["X"], crops["W1"], crops["W2"], crops["W3"])
+            d = plan.discard_hr
+            return pred[0, d : pred.shape[1] - d, d : pred.shape[2] - d, 0]
+
+        def body(strip, tx):
+            strip = jax.lax.dynamic_update_slice(
+                strip, tile(tx), (0, tx * plan.tile_out)
+            )
+            return strip, None
+
+        strip0 = jnp.zeros((plan.tile_out, plan.out_w), jnp.float32)
+        strip, _ = jax.lax.scan(body, strip0, jnp.arange(gx))
+        return strip
+
+    return band_predict
+
+
+def predict_continent(
+    forward_fn: Callable[..., jax.Array],
+    inputs_host: Dict[str, np.ndarray],  # NHWC numpy, full region, unpadded
+    plan: TilePlan,
+    clip_conditioning: bool = True,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> np.ndarray:
+    """Predict the full (out_h, out_w) DEM band by band; returns the host
+    canvas (float32)."""
+    gy, _ = plan.grid
+    lh, lw = plan.lr_shape
+    pad = plan.pad_lr
+    band_predict = _make_band_predictor(forward_fn, plan, clip_conditioning)
+
+    canvas = np.empty((plan.out_h, plan.out_w), np.float32)
+    for band in range(gy):
+        r0 = band * plan.tile_lr - pad
+        r1 = (band + 1) * plan.tile_lr + pad
+        band_inputs = {}
+        for key, ratio in INPUT_RATIOS.items():
+            a = inputs_host[key]
+            assert a.shape[1] == ratio * lh and a.shape[2] == ratio * lw, (
+                key, a.shape, (ratio * lh, ratio * lw),
+            )
+            rr0, rr1 = r0 * ratio, r1 * ratio
+            top_pad = max(0, -rr0)
+            bot_pad = max(0, rr1 - ratio * lh)
+            sl = a[:, max(0, rr0) : min(ratio * lh, rr1)]
+            if top_pad or bot_pad:
+                sl = np.pad(
+                    sl, ((0, 0), (top_pad, bot_pad), (0, 0), (0, 0)), mode="edge"
+                )
+            band_inputs[key] = jnp.asarray(sl)
+
+        strip = band_predict(band_inputs)
+        canvas[band * plan.tile_out : (band + 1) * plan.tile_out] = np.asarray(strip)
+        if progress is not None:
+            progress(band + 1, gy)
+    return canvas
+
+
+def save_continent_dem(
+    canvas: np.ndarray,
+    bounds: Tuple[float, float, float, float],  # (xmin, ymin, xmax, ymax)
+    outfilepath: str,
+    nodataval: float = -2000.0,
+) -> None:
+    """int16 + LZW + tiled GeoTIFF, like the reference's final product
+    (deepbedmap.py:749-756)."""
+    from deepbedmap_tpu.data import geotiff
+
+    xmin, ymin, xmax, ymax = bounds
+    h, w = canvas.shape
+    out = np.where(np.isfinite(canvas), canvas, nodataval).astype(np.int16)
+    geotiff.write_geotiff(
+        f"{outfilepath}.tif",
+        out,
+        left=xmin,
+        top=ymax,
+        res=(xmax - xmin) / w,
+        nodata=nodataval,
+        compress=True,
+        tiled=True,
+    )

@@ -1,0 +1,206 @@
+// TIFF LZW codec — native hot loops for deepbedmap_tpu.data.geotiff.
+//
+// The Python implementation in geotiff.py is the semantic reference (libtiff-
+// compatible "early change" width transitions, cross-validated against
+// PIL/libtiff in tests/test_data.py); this C++ port exists because encoding a
+// ~800 MB continent DEM byte-by-byte in Python is minutes, not seconds.
+//
+// Build: see native/build.sh (g++ -O2 -shared -fPIC).
+// ABI: plain C functions, loaded via ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kClear = 256;
+constexpr int kEoi = 257;
+
+struct BitWriter {
+  std::vector<uint8_t>& out;
+  uint64_t bitbuf = 0;
+  int bitcnt = 0;
+  explicit BitWriter(std::vector<uint8_t>& o) : out(o) {}
+  void put(uint32_t code, int width) {
+    bitbuf = (bitbuf << width) | code;
+    bitcnt += width;
+    while (bitcnt >= 8) {
+      out.push_back(static_cast<uint8_t>((bitbuf >> (bitcnt - 8)) & 0xFF));
+      bitcnt -= 8;
+    }
+  }
+  void flush() {
+    if (bitcnt > 0) {
+      out.push_back(static_cast<uint8_t>((bitbuf << (8 - bitcnt)) & 0xFF));
+      bitcnt = 0;
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Encode `n` bytes; writes up to `cap` bytes into `out`.
+// Returns bytes written, or -1 if `cap` is insufficient.
+long long tiff_lzw_encode(const uint8_t* in, long long n, uint8_t* out,
+                          long long cap) {
+  std::vector<uint8_t> buf;
+  buf.reserve(static_cast<size_t>(n + (n >> 1) + 64));
+  BitWriter bw(buf);
+
+  // Dictionary as a prefix-tree packed in a flat array:
+  // next[code * 256 + byte] -> code of (string(code) + byte); stale entries
+  // are detected via a generation stamp so dictionary clears are O(1)
+  // instead of a 4 MB memset (clears are frequent on poorly-compressible
+  // data and dominated the profile).
+  std::vector<int32_t> next(4096 * 256, 0);
+  std::vector<uint32_t> gen(4096 * 256, 0);
+  uint32_t epoch = 1;
+  int next_code = 258;
+  int width = 9;
+  bw.put(kClear, width);
+
+  long long pos = 0;
+  if (n > 0) {
+    int w = in[pos++];
+    while (pos < n) {
+      uint8_t c = in[pos++];
+      size_t idx = static_cast<size_t>(w) * 256 + c;
+      if (gen[idx] == epoch) {
+        w = next[idx];
+        continue;
+      }
+      bw.put(static_cast<uint32_t>(w), width);
+      next[idx] = next_code++;
+      gen[idx] = epoch;
+      // width transition mirroring libtiff's decoder-side early change
+      if (next_code == (1 << width) && width < 12) {
+        width += 1;
+      } else if (next_code == (1 << 12) - 2) {
+        bw.put(kClear, width);
+        ++epoch;
+        next_code = 258;
+        width = 9;
+      }
+      w = c;
+    }
+    bw.put(static_cast<uint32_t>(w), width);
+  }
+  bw.put(kEoi, width);
+  bw.flush();
+
+  if (static_cast<long long>(buf.size()) > cap) return -1;
+  std::memcpy(out, buf.data(), buf.size());
+  return static_cast<long long>(buf.size());
+}
+
+// Decode `n` bytes; writes up to `cap` bytes into `out`.
+// Returns bytes written, -1 if `cap` insufficient, -2 on malformed stream.
+long long tiff_lzw_decode(const uint8_t* in, long long n, uint8_t* out,
+                          long long cap) {
+  // Dictionary entries as (prefix_code, last_byte); strings materialised by
+  // walking prefixes backward.
+  std::vector<int32_t> prefix(4096, -1);
+  std::vector<uint8_t> last(4096, 0);
+  std::vector<int32_t> length(4096, 0);
+  for (int i = 0; i < 256; ++i) {
+    last[i] = static_cast<uint8_t>(i);
+    length[i] = 1;
+  }
+  int table_size = 258;
+  int width = 9;
+
+  uint64_t bitbuf = 0;
+  int bitcnt = 0;
+  long long pos = 0;
+  long long written = 0;
+  int prev = -1;
+  std::vector<uint8_t> scratch;
+  scratch.reserve(4096);
+
+  auto emit = [&](int code) -> long long {
+    scratch.clear();
+    int c = code;
+    while (c >= 0) {
+      scratch.push_back(last[c]);
+      c = prefix[c];
+    }
+    long long len = static_cast<long long>(scratch.size());
+    if (written + len > cap) return -1;
+    for (long long i = 0; i < len; ++i) out[written + i] = scratch[len - 1 - i];
+    written += len;
+    return len;
+  };
+
+  while (true) {
+    while (bitcnt < width && pos < n) {
+      bitbuf = (bitbuf << 8) | in[pos++];
+      bitcnt += 8;
+    }
+    if (bitcnt < width) break;
+    int code = static_cast<int>((bitbuf >> (bitcnt - width)) & ((1u << width) - 1));
+    bitcnt -= width;
+
+    if (code == kClear) {
+      table_size = 258;
+      width = 9;
+      prev = -1;
+      continue;
+    }
+    if (code == kEoi) break;
+
+    if (prev < 0) {
+      if (code >= 256) return -2;
+      if (emit(code) < 0) return -1;
+      prev = code;
+    } else if (code < table_size) {
+      if (code == kClear || code == kEoi) return -2;
+      if (table_size < 4096) {
+        prefix[table_size] = prev;
+        // first byte of string(code)
+        int c = code;
+        while (prefix[c] >= 0) c = prefix[c];
+        last[table_size] = last[c];
+        length[table_size] = length[prev] + 1;
+        ++table_size;
+      }
+      if (emit(code) < 0) return -1;
+      prev = code;
+    } else if (code == table_size && table_size < 4096) {
+      // KwKwK
+      int c = prev;
+      while (prefix[c] >= 0) c = prefix[c];
+      prefix[table_size] = prev;
+      last[table_size] = last[c];
+      length[table_size] = length[prev] + 1;
+      ++table_size;
+      if (emit(table_size - 1) < 0) return -1;
+      prev = table_size - 1;
+    } else {
+      return -2;
+    }
+    // libtiff-compatible early change
+    if (table_size >= (1 << width) - 1 && width < 12) width += 1;
+  }
+  return written;
+}
+
+// Horizontal differencing predictor (TIFF predictor 2) for int16 rows,
+// in place: forward (encode) and inverse (decode).
+void tiff_predict_i16(int16_t* data, long long rows, long long cols) {
+  for (long long r = 0; r < rows; ++r) {
+    int16_t* row = data + r * cols;
+    for (long long c = cols - 1; c > 0; --c) row[c] = static_cast<int16_t>(row[c] - row[c - 1]);
+  }
+}
+
+void tiff_unpredict_i16(int16_t* data, long long rows, long long cols) {
+  for (long long r = 0; r < rows; ++r) {
+    int16_t* row = data + r * cols;
+    for (long long c = 1; c < cols; ++c) row[c] = static_cast<int16_t>(row[c] + row[c - 1]);
+  }
+}
+
+}  // extern "C"

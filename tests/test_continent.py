@@ -1,0 +1,77 @@
+"""Continent band-streaming tests: band output must equal the whole-region
+engine exactly (real vertical halos), and the GeoTIFF product round-trips."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepbedmap_tpu.config import GeneratorConfig
+from deepbedmap_tpu.data import geotiff
+from deepbedmap_tpu.inference import TilePlan, predict_region_tiled
+from deepbedmap_tpu.inference.continent import predict_continent, save_continent_dem
+from deepbedmap_tpu.models import build_generator
+
+
+@pytest.fixture(scope="module")
+def forward():
+    model, params = build_generator(GeneratorConfig(num_residual_blocks=1))
+
+    def forward_fn(x, w1, w2, w3):
+        return model.apply({"params": params}, x, w1, w2, w3)
+
+    return forward_fn
+
+
+def _host_inputs(plan, seed=0):
+    rs = np.random.RandomState(seed)
+    lh, lw = plan.lr_shape
+    return {
+        "X": rs.rand(1, lh, lw, 1).astype(np.float32),
+        "W1": rs.rand(1, 10 * lh, 10 * lw, 1).astype(np.float32),
+        "W2": rs.rand(1, 2 * lh, 2 * lw, 2).astype(np.float32),
+        "W3": rs.rand(1, lh, lw, 1).astype(np.float32),
+    }
+
+
+def test_band_streaming_matches_whole_region(forward):
+    plan = TilePlan(out_h=96, out_w=64, tile_out=32, halo_lr=3)
+    inputs = _host_inputs(plan)
+    canvas = predict_continent(forward, inputs, plan, clip_conditioning=False)
+    whole = jax.jit(
+        lambda i: predict_region_tiled(forward, i, plan)
+    )({k: jnp.asarray(v) for k, v in inputs.items()})
+    np.testing.assert_allclose(
+        canvas, np.asarray(whole)[0, :, :, 0], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_conditioning_clip(forward):
+    plan = TilePlan(out_h=32, out_w=32, tile_out=32, halo_lr=2)
+    inputs = _host_inputs(plan)
+    neg = {k: (v - 0.5).astype(np.float32) for k, v in inputs.items()}
+    a = predict_continent(forward, neg, plan, clip_conditioning=True)
+    clipped = {
+        "X": neg["X"],
+        "W1": np.maximum(neg["W1"], 0),
+        "W2": np.maximum(neg["W2"], 0),
+        "W3": np.maximum(neg["W3"], 0),
+    }
+    b = predict_continent(forward, clipped, plan, clip_conditioning=False)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_save_continent_dem(tmp_path, forward):
+    plan = TilePlan(out_h=32, out_w=64, tile_out=32, halo_lr=2)
+    canvas = np.random.RandomState(0).randn(32, 64).astype(np.float32) * 100
+    canvas[0, 0] = np.nan
+    out = str(tmp_path / "dem")
+    save_continent_dem(canvas, (0.0, 0.0, 64000.0, 32000.0), out)
+    back, meta = geotiff.read_geotiff(out + ".tif")
+    assert back.dtype == np.int16
+    assert back[0, 0] == -2000  # NaN -> nodata
+    assert meta["res"] == 1000.0 and meta["nodata"] == -2000.0
+    np.testing.assert_array_equal(
+        back[1:], canvas[1:].astype(np.int16)
+    )
