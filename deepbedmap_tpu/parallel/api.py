@@ -86,6 +86,9 @@ def sharded_predict_tiles(
             mesh=mesh,
             in_specs=(P(), P(axis_name)),
             out_specs=P(axis_name),
+            # pallas_call inside shard_map can't declare varying-mesh-axes
+            # metadata on its out_shape; disable the vma check
+            check_vma=False,
         )
     )
     tile_ids = jnp.arange(num_padded) % num  # wrap padding tiles (recomputed, dropped)
