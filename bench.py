@@ -48,18 +48,31 @@ def main() -> None:
     crop_lr = 288
     inputs = build_tile_inputs(crop_lr)
 
-    # compile + warmup
-    out = forward(params, *inputs)
-    out.block_until_ready()
+    # Timing note: on this image's tunneled TPU backend block_until_ready()
+    # does not reliably block, so each iteration is synchronised by forcing a
+    # scalar reduction to host; the measured RTT of a no-op scalar fetch is
+    # subtracted.
+    @jax.jit
+    def forward_sum(params, x, w1, w2, w3):
+        return jnp.sum(forward(params, x, w1, w2, w3))
 
-    # timed: continent tiles are independent; single-chip rate is the unit
+    @jax.jit
+    def noop(x):
+        return jnp.sum(x[:1, :1, :1, :1])
+
+    float(forward_sum(params, *inputs))  # compile + warmup
+    float(noop(inputs[0]))
+
+    def timed(fn, args, iters):
+        start = time.perf_counter()
+        for _ in range(iters):
+            float(fn(*args))
+        return (time.perf_counter() - start) / iters
+
     iters = 10
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = forward(params, *inputs)
-    out.block_until_ready()
-    elapsed = time.perf_counter() - start
-    tiles_per_sec = iters / elapsed
+    sync_overhead = timed(noop, (inputs[0],), iters)
+    per_tile = timed(forward_sum, (params,) + inputs, iters) - sync_overhead
+    tiles_per_sec = 1.0 / max(per_tile, 1e-9)
 
     result = {
         "metric": "sr_tiles_per_sec_per_chip",

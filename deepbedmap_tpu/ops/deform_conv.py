@@ -219,7 +219,7 @@ def deform_conv2d(
     weight: jax.Array,  # (kh, kw, C_in, C_out)
     bias: Optional[jax.Array] = None,  # (C_out,)
     padding: int = 1,
-    method: str = "pallas",
+    method: str = "auto",
     clamp: int = 2,
 ) -> jax.Array:
     """Deformable convolution v1, stride 1, square zero padding.
@@ -229,15 +229,23 @@ def deform_conv2d(
     srgan_train.py:506-523).
 
     method:
-      'pallas' (default) — VMEM-blocked TPU kernel of the masked-shift
-          decomposition (ops.pallas_kernels); interpreted off-TPU. Offsets
-          clamped to [-clamp, clamp] px (learned offsets in this architecture
-          stay well inside ±2). Differentiable via a custom VJP that reuses
-          the 'shifts' backward.
-      'shifts' — same decomposition in pure XLA (portable, but XLA spills
-          every shifted term through HBM at large sizes).
+      'auto' (default) — 'pallas' on TPU for large images (inference-scale),
+          'shifts' otherwise (small training tiles / CPU, where the kernel's
+          block padding outweighs its fusion win).
+      'pallas' — VMEM-blocked TPU kernel: the sx shift-sum is a banded
+          (128,128) matrix built from the offset masks, so each (tap, sy)
+          term is one MXU matmul (ops.pallas_kernels; interpreted off-TPU;
+          differentiable via a custom VJP that reuses the 'shifts' backward).
+          ~5x the XLA path at continent-tile sizes; offsets clamped to
+          [-clamp, clamp] px (learned offsets here stay well inside ±2).
+      'shifts' — gather-free masked-shift decomposition in pure XLA
+          (portable; every shifted term round-trips HBM).
       'gather' — exact for unbounded offsets; slow on TPU, fine on CPU.
     """
+    if method == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        large = x.shape[1] * x.shape[2] >= 256 * 256
+        method = "pallas" if (on_tpu and large) else "shifts"
     if method == "gather":
         return _deform_conv_gather(x, offsets, weight, bias, padding)
     if method == "shifts":

@@ -24,7 +24,7 @@ def test_pallas_matches_shifts(case):
     x, offsets, weight, bias = case
     via_shifts = deform_conv2d(x, offsets, weight, bias, method="shifts", clamp=2)
     via_pallas = deform_conv2d_pallas(
-        x, offsets, weight, bias, clamp=2, block=(8, 8), interpret=True
+        x, offsets, weight, bias, clamp=2, block_rows=8, interpret=True
     )
     np.testing.assert_allclose(
         np.asarray(via_pallas), np.asarray(via_shifts), rtol=1e-5, atol=1e-5
