@@ -36,6 +36,10 @@ class GeneratorConfig:
     scale: int = 4  # super-resolution upscale factor (2x nearest-neighbour, twice)
     # He-normal init std multiplier (Chainer HeNormal(scale=0.1), srgan_train.py:220)
     init_scale: float = 0.1
+    # Conv compute dtype: 'float32' (reference parity) or 'bfloat16' (params
+    # and residual/skip adds stay fp32; ~3x faster trunk on TPU; elevation
+    # outputs carry bf16 feature noise — validate RMSE before production use).
+    compute_dtype: str = "float32"
 
     @property
     def concat_channels(self) -> int:

@@ -49,6 +49,7 @@ class StridedInputConv(nn.Module):
     features: int
     block: int
     init_scale: float = 0.1
+    dtype: Any = None  # conv compute dtype (None = fp32)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -59,6 +60,7 @@ class StridedInputConv(nn.Module):
             kernel_size=(3, 3),
             strides=(1, 1),
             padding="VALID",
+            dtype=self.dtype,
             kernel_init=he_normal_chainer(self.init_scale),
         )(x)
 
@@ -71,13 +73,15 @@ class InputBlock(nn.Module):
 
     out_channels: int = 32
     init_scale: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, w1, w2, w3):
-        xb = StridedInputConv(self.out_channels, 1, self.init_scale, name="conv_on_X")(x)
-        w1b = StridedInputConv(self.out_channels, 10, self.init_scale, name="conv_on_W1")(w1)
-        w2b = StridedInputConv(self.out_channels, 2, self.init_scale, name="conv_on_W2")(w2)
-        w3b = StridedInputConv(self.out_channels, 1, self.init_scale, name="conv_on_W3")(w3)
+        args = (self.init_scale, self.dtype)
+        xb = StridedInputConv(self.out_channels, 1, *args, name="conv_on_X")(x)
+        w1b = StridedInputConv(self.out_channels, 10, *args, name="conv_on_W1")(w1)
+        w2b = StridedInputConv(self.out_channels, 2, *args, name="conv_on_W2")(w2)
+        w3b = StridedInputConv(self.out_channels, 1, *args, name="conv_on_W3")(w3)
         return jnp.concatenate([xb, w1b, w2b, w3b], axis=-1)
 
 
@@ -92,6 +96,7 @@ class ResidualDenseBlock(nn.Module):
     growth: int = 32
     residual_scaling: float = 0.1
     init_scale: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -100,6 +105,7 @@ class ResidualDenseBlock(nn.Module):
                 features=features,
                 kernel_size=(3, 3),
                 padding="SAME",
+                dtype=self.dtype,
                 kernel_init=he_normal_chainer(self.init_scale),
                 name=name,
             )
@@ -126,6 +132,7 @@ class ResInResDenseBlock(nn.Module):
     growth: int = 32
     residual_scaling: float = 0.1
     init_scale: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -136,6 +143,7 @@ class ResInResDenseBlock(nn.Module):
                 self.growth,
                 self.residual_scaling,
                 self.init_scale,
+                self.dtype,
                 name=f"residual_dense_block{i}",
             )(a)
         return x + self.residual_scaling * a
@@ -151,6 +159,7 @@ class DeformableConv(nn.Module):
 
     features: int
     init_scale: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -159,6 +168,7 @@ class DeformableConv(nn.Module):
             features=2 * k,
             kernel_size=(3, 3),
             padding="SAME",
+            dtype=self.dtype,
             kernel_init=he_normal_chainer(self.init_scale),
             name="offset_conv",
         )(x)
@@ -168,4 +178,8 @@ class DeformableConv(nn.Module):
             (3, 3, x.shape[-1], self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return deform_conv2d(x, offsets, weight, bias, padding=1)
+        # sampling + kernel matmul run fp32 regardless of compute dtype
+        return deform_conv2d(
+            x.astype(jnp.float32), offsets.astype(jnp.float32), weight, bias,
+            padding=1,
+        )

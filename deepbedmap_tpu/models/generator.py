@@ -14,7 +14,10 @@ keeps compile time flat in depth and makes the trunk a natural unit for
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from deepbedmap_tpu.config import GeneratorConfig
@@ -35,6 +38,7 @@ class _RRDBStep(nn.Module):
     growth: int
     residual_scaling: float
     init_scale: float
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, carry, _):
@@ -43,6 +47,7 @@ class _RRDBStep(nn.Module):
             self.growth,
             self.residual_scaling,
             self.init_scale,
+            self.dtype,
             name="block",
         )(carry)
         return out, None
@@ -56,20 +61,22 @@ class Generator(nn.Module):
         """NHWC inputs: x (N,h,w,1) bed, w1 (N,10h,10w,1) surface,
         w2 (N,2h,2w,2) velocity, w3 (N,h,w,1) accumulation."""
         cfg = self.cfg
+        dtype = None if cfg.compute_dtype == "float32" else jnp.dtype(cfg.compute_dtype)
 
         def conv64(name):
             return nn.Conv(
                 features=cfg.base_channels,
                 kernel_size=(3, 3),
                 padding="SAME",
+                dtype=dtype,
                 kernel_init=he_normal_chainer(cfg.init_scale),
                 name=name,
             )
 
         # 0: multi-branch input block, valid convs -> common latent grid
-        a0 = InputBlock(cfg.inblock_channels, cfg.init_scale, name="input_block")(
-            x, w1, w2, w3
-        )
+        a0 = InputBlock(
+            cfg.inblock_channels, cfg.init_scale, dtype, name="input_block"
+        )(x, w1, w2, w3)
 
         # 1: pre-residual conv
         a1 = leaky_relu(conv64("pre_residual_conv_layer")(a0))
@@ -86,6 +93,7 @@ class Generator(nn.Module):
             cfg.growth_channels,
             cfg.residual_scaling,
             cfg.init_scale,
+            dtype,
             name="residual_network",
         )
         a2, _ = trunk(a1, None)
@@ -99,8 +107,12 @@ class Generator(nn.Module):
             a4 = nearest_upsample(a4, 2)
             a4 = leaky_relu(conv64(f"post_upsample_conv_layer_{i}")(a4))
 
-        # 5: two deformable convolution output layers
+        # 5: two deformable convolution output layers (fp32 internally)
         a5 = leaky_relu(
-            DeformableConv(cfg.base_channels, cfg.init_scale, name="final_conv_layer1")(a4)
+            DeformableConv(
+                cfg.base_channels, cfg.init_scale, dtype, name="final_conv_layer1"
+            )(a4)
         )
-        return DeformableConv(cfg.out_channels, cfg.init_scale, name="final_conv_layer2")(a5)
+        return DeformableConv(
+            cfg.out_channels, cfg.init_scale, dtype, name="final_conv_layer2"
+        )(a5)

@@ -1,0 +1,4 @@
+"""Utilities: profiling, metric logging, reproducibility."""
+
+from deepbedmap_tpu.utils.profiling import trace, timed  # noqa: F401
+from deepbedmap_tpu.utils.logging import MetricLogger  # noqa: F401
