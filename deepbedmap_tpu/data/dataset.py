@@ -60,13 +60,39 @@ class TileDataset:
         return cls(converted)
 
     @classmethod
-    def load_npy_dir(cls, directory: str) -> "TileDataset":
-        """Load X.npy/W1.npy/... from a directory (the model/train layout)."""
+    def load_npy_dir(
+        cls, directory: str, expected_hash: Optional[str] = None
+    ) -> "TileDataset":
+        """Load X.npy/W1.npy/... from a directory (the model/train layout).
+
+        ``expected_hash`` pins the dataset content (the reference pins a quilt
+        hash, srgan_train.py:89); mismatch raises.
+        """
         import os
 
-        return cls.from_nchw(
-            {k: np.load(os.path.join(directory, f"{k}.npy")) for k in ARRAY_KEYS}
-        )
+        arrays = {
+            k: np.load(os.path.join(directory, f"{k}.npy")) for k in ARRAY_KEYS
+        }
+        if expected_hash is not None:
+            actual = content_hash(arrays)
+            if actual != expected_hash:
+                raise ValueError(
+                    f"dataset hash mismatch: {actual} != {expected_hash}"
+                )
+        return cls.from_nchw(arrays)
+
+    def save_npy_dir(self, directory: str) -> str:
+        """Write the reference NCHW npy contract (data_prep.py:925-930);
+        returns the content hash for pinning."""
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        arrays = {}
+        for k in ARRAY_KEYS:
+            a = np.asarray(self.arrays[k]).transpose(0, 3, 1, 2)
+            np.save(os.path.join(directory, f"{k}.npy"), a)
+            arrays[k] = a
+        return content_hash(arrays)
 
     @classmethod
     def synthetic(cls, n: int, seed: int = 0) -> "TileDataset":
@@ -81,6 +107,20 @@ class TileDataset:
     def take(self, indices) -> Dict[str, jax.Array]:
         """Gather a batch by index array — jit-able."""
         return {k: jnp.take(v, indices, axis=0) for k, v in self.arrays.items()}
+
+
+def content_hash(arrays: Dict[str, np.ndarray]) -> str:
+    """Deterministic sha256 of the dataset content (quilt-hash-pinning
+    equivalent, SURVEY.md 2.1 'Data versioning')."""
+    import hashlib
+
+    digest = hashlib.sha256()
+    for key in ARRAY_KEYS:
+        a = np.ascontiguousarray(arrays[key])
+        digest.update(key.encode())
+        digest.update(str(a.shape).encode())
+        digest.update(a.tobytes())
+    return digest.hexdigest()
 
 
 def train_dev_split(

@@ -15,3 +15,4 @@ from deepbedmap_tpu.models.api import (  # noqa: F401
     generator_forward_nchw,
     count_params,
 )
+from deepbedmap_tpu.models.summary import summary, param_table, to_dot  # noqa: F401

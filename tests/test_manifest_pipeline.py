@@ -125,3 +125,35 @@ def test_ascii_to_xyz_plain(tmp_path):
     assert list(df.columns) == ["x", "y", "z"]
     assert len(df) == 2
     assert df["z"].tolist() == [-3.0, -6.0]
+
+
+def test_download_archive_member(tmp_path):
+    """Archive-member extraction via a file:// URL (the reference pulls
+    survey CSVs out of zip/tgz archives, data_prep.py:83-102)."""
+    import zipfile
+
+    src = tmp_path / "bundle.zip"
+    with zipfile.ZipFile(src, "w") as zf:
+        zf.writestr("nested/dir/survey.csv", "x,y,z\n1,2,3\n")
+        zf.writestr("other.txt", "ignore")
+    from deepbedmap_tpu.data.manifest import download_to_path
+
+    dest = tmp_path / "out" / "survey.csv"
+    download_to_path(str(dest), f"file://{src}".replace("bundle.zip", "bundle.zip"))
+    # url ends with .zip but member defaults to basename of path
+    assert dest.read_text() == "x,y,z\n1,2,3\n"
+
+
+def test_dataset_hash_pinning(tmp_path):
+    import numpy as np
+
+    from deepbedmap_tpu.data.dataset import TileDataset
+
+    ds = TileDataset.synthetic(4, seed=0)
+    h = ds.save_npy_dir(str(tmp_path / "train"))
+    back = TileDataset.load_npy_dir(str(tmp_path / "train"), expected_hash=h)
+    assert len(back) == 4
+    import pytest
+
+    with pytest.raises(ValueError):
+        TileDataset.load_npy_dir(str(tmp_path / "train"), expected_hash="0" * 64)
