@@ -46,9 +46,15 @@ class TilePlan:
     scale: int = 4
 
     def __post_init__(self):
-        assert self.out_h % self.tile_out == 0, (self.out_h, self.tile_out)
-        assert self.out_w % self.tile_out == 0, (self.out_w, self.tile_out)
-        assert self.tile_out % self.scale == 0
+        assert self.out_h % self.tile_out == 0, (
+            f"out_h={self.out_h} must be a multiple of tile_out={self.tile_out}"
+        )
+        assert self.out_w % self.tile_out == 0, (
+            f"out_w={self.out_w} must be a multiple of tile_out={self.tile_out}"
+        )
+        assert self.tile_out % self.scale == 0, (
+            f"tile_out={self.tile_out} must be a multiple of scale={self.scale}"
+        )
 
     @property
     def tile_lr(self) -> int:
