@@ -101,6 +101,59 @@ def torch_generator_forward(g, x, w1, w2, w3, num_blocks, scaling):
     return _deform(a5, g, "final_conv_layer2")
 
 
+def test_torch_discriminator_matches_flax():
+    """Independent torch implementation of the reference discriminator spec
+    (srgan_train.py:591-699: conv0 biased, conv1-9 bias-free + BN eps 1e-5,
+    LeakyReLU 0.2, flatten -> 100 -> 1) vs our flax model in eval mode."""
+    from deepbedmap_tpu.models import build_discriminator
+
+    model, variables = build_discriminator()
+    p = variables["params"]
+    bs = variables["batch_stats"]
+
+    channels = [64, 64, 128, 128, 128, 256, 256, 512, 512, 512]
+    kernels = [3, 4, 3, 4, 3, 4, 3, 4, 3, 4]
+    strides = [1, 2, 1, 2, 1, 2, 1, 2, 1, 2]
+
+    rs = np.random.RandomState(7)
+    x = rs.rand(2, 1, 36, 36).astype(np.float32)
+
+    with torch.no_grad():
+        a = _t(x)
+        for i in range(10):
+            layer = p[f"conv_layer{i}"]
+            w = _t(np.asarray(layer["kernel"]).transpose(3, 2, 0, 1))
+            b = _t(np.asarray(layer["bias"])) if i == 0 else None
+            a = F.conv2d(a, w, b, stride=strides[i], padding=1)
+            if i > 0:
+                bn_p = p[f"batch_norm{i}"]
+                bn_s = bs[f"batch_norm{i}"]
+                a = F.batch_norm(
+                    a,
+                    _t(np.asarray(bn_s["mean"])),
+                    _t(np.asarray(bn_s["var"])),
+                    _t(np.asarray(bn_p["scale"])),
+                    _t(np.asarray(bn_p["bias"])),
+                    training=False,
+                    eps=1e-5,
+                )
+            a = F.leaky_relu(a, 0.2)
+        a = a.reshape(a.shape[0], -1)
+        a = F.leaky_relu(
+            F.linear(a, _t(np.asarray(p["linear_1"]["kernel"]).T),
+                     _t(np.asarray(p["linear_1"]["bias"]))), 0.2,
+        )
+        logits_torch = F.linear(
+            a, _t(np.asarray(p["linear_2"]["kernel"]).T),
+            _t(np.asarray(p["linear_2"]["bias"])),
+        ).numpy()
+
+    logits_flax = np.asarray(
+        model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    )
+    np.testing.assert_allclose(logits_torch, logits_flax, rtol=1e-4, atol=1e-5)
+
+
 def test_torch_reimplementation_matches_flax(tmp_path):
     model, params = build_generator(CFG)
     path = str(tmp_path / "gen.npz")
