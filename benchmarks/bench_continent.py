@@ -1,0 +1,107 @@
+"""Whole-continent-scale inference benchmark: the reference's 396-tile
+18000x22000 px workload (deepbedmap.py:689-736), run for real on the attached
+TPU as 18 row bands of 22 tiles via the band engine.
+
+Band inputs are generated on device (this image's TPU is behind a ~26 MB/s
+tunnel, so host->device transfer would measure the tunnel, not the machine;
+on a real TPU host, PCIe/DMA moves a 634 MB band in ~20 ms). Completion is
+forced per band with a scalar fetch. Output strips stay on device for the
+same reason; the GeoTIFF product path is benchmarked separately at the end
+from host-generated data.
+
+Prints one JSON line per measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from deepbedmap_tpu.config import GeneratorConfig
+    from deepbedmap_tpu.inference.continent import _make_band_predictor
+    from deepbedmap_tpu.inference.engine import TilePlan
+    from deepbedmap_tpu.models import build_generator
+
+    plan = TilePlan(out_h=18000, out_w=22000)  # the reference geometry
+    gy, gx = plan.grid
+    assert (gy, gx) == (18, 22) and plan.num_tiles == 396
+
+    model, params = build_generator(GeneratorConfig(), lr=11)
+
+    def forward_fn(x, w1, w2, w3):
+        return model.apply({"params": params}, x, w1, w2, w3)
+
+    band_predict = _make_band_predictor(forward_fn, plan, clip_conditioning=True)
+
+    lh, lw = plan.lr_shape
+    band_rows = plan.tile_lr + 2 * plan.pad_lr  # 288 lr rows incl. halo
+
+    @jax.jit
+    def make_band(key):
+        ks = jax.random.split(key, 4)
+        return {
+            "X": jax.random.normal(ks[0], (1, band_rows, lw, 1), jnp.float32),
+            "W1": jax.random.normal(ks[1], (1, 10 * band_rows, 10 * lw, 1), jnp.float32),
+            "W2": jax.random.normal(ks[2], (1, 2 * band_rows, 2 * lw, 2), jnp.float32),
+            "W3": jax.random.normal(ks[3], (1, band_rows, lw, 1), jnp.float32),
+        }
+
+    # compile + warm
+    band = make_band(jax.random.PRNGKey(0))
+    strip = band_predict(band)
+    _ = float(jnp.sum(strip))
+
+    start = time.perf_counter()
+    checksum = 0.0
+    for b in range(gy):
+        band = make_band(jax.random.PRNGKey(b))
+        strip = band_predict(band)
+        checksum += float(jnp.sum(strip))  # forces completion per band
+    total = time.perf_counter() - start
+
+    print(
+        json.dumps(
+            {
+                "metric": "continent_396_tiles_wallclock",
+                "value": round(total, 2),
+                "unit": "s/chip (18 bands x 22 tiles, compute+sync)",
+                "tiles_per_sec": round(396 / total, 2),
+            }
+        )
+    )
+
+    # product path: int16 LZW tiled GeoTIFF of an 18000x22000 canvas
+    from deepbedmap_tpu.inference.continent import save_continent_dem
+
+    rs = np.random.RandomState(0)
+    block = rs.randn(1000, 1000).astype(np.float32) * 200
+    canvas = np.tile(block, (18, 22))
+    t0 = time.perf_counter()
+    save_continent_dem(
+        canvas,
+        (-2_700_000.0, -2_200_000.0, 2_800_000.0, 2_300_000.0),
+        "/tmp/deepbedmap_dem_bench",
+    )
+    t_write = time.perf_counter() - t0
+    import os
+
+    size_mb = os.path.getsize("/tmp/deepbedmap_dem_bench.tif") / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "continent_geotiff_write",
+                "value": round(t_write, 1),
+                "unit": f"s (int16 LZW tiled, {size_mb:.0f} MB file)",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
