@@ -40,6 +40,10 @@ class GeneratorConfig:
     # and residual/skip adds stay fp32; ~3x faster trunk on TPU; elevation
     # outputs carry bf16 feature noise — validate RMSE before production use).
     compute_dtype: str = "float32"
+    # Rematerialise each RRDB in the backward pass (jax.checkpoint on the scan
+    # body): trades ~1 extra trunk forward for O(depth) less activation
+    # memory — lets training batches grow well past the reference's 128.
+    remat: bool = False
 
     @property
     def concat_channels(self) -> int:

@@ -55,6 +55,43 @@ _lib.tiff_lzw_decode.argtypes = [
 ]
 
 
+_lib.tiff_lzw_encode_blocks.restype = ctypes.c_longlong
+_lib.tiff_lzw_encode_blocks.argtypes = [
+    ctypes.c_char_p,
+    ctypes.POINTER(ctypes.c_longlong),
+    ctypes.c_int,
+    ctypes.c_char_p,
+    ctypes.c_longlong,
+    ctypes.POINTER(ctypes.c_longlong),
+    ctypes.c_int,
+]
+
+
+def lzw_encode_blocks(blocks, n_threads: int = 0):
+    """Compress independent TIFF blocks in parallel (0 = hw threads)."""
+    if not blocks:
+        return []
+    n = len(blocks)
+    offsets = (ctypes.c_longlong * (n + 1))()
+    total = 0
+    for i, b in enumerate(blocks):
+        offsets[i] = total
+        total += len(b)
+    offsets[n] = total
+    concat = b"".join(blocks)
+    stride = max(len(b) for b in blocks)
+    stride = stride + (stride >> 1) + 1024
+    out = ctypes.create_string_buffer(stride * n)
+    lens = (ctypes.c_longlong * n)()
+    rc = _lib.tiff_lzw_encode_blocks(
+        concat, offsets, n, out, stride, lens, n_threads
+    )
+    if rc != 0:  # a block overflowed its stride (incompressible): fall back
+        return [lzw_encode(b) for b in blocks]
+    raw = out.raw
+    return [raw[i * stride : i * stride + lens[i]] for i in range(n)]
+
+
 def lzw_encode(data: bytes) -> bytes:
     cap = len(data) + (len(data) >> 1) + 1024
     while True:

@@ -326,7 +326,11 @@ def write_geotiff(
             blocks.append(array[r0 : min(r0 + th, h)].tobytes())
 
     if compress:
-        blocks = [lzw_encode(b) for b in blocks]
+        nat = _native()
+        if nat is not None and hasattr(nat, "lzw_encode_blocks"):
+            blocks = nat.lzw_encode_blocks(blocks)
+        else:
+            blocks = [lzw_encode(b) for b in blocks]
 
     total = sum(len(b) for b in blocks)
     if bigtiff is None:

@@ -82,9 +82,11 @@ class Generator(nn.Module):
         a1 = leaky_relu(conv64("pre_residual_conv_layer")(a0))
 
         # 2: RRDB trunk as a scan (reference repeats the block class N times,
-        # srgan_train.py:475-477)
+        # srgan_train.py:475-477); optionally remat each block for training
+        # memory (activation footprint becomes O(1) in depth)
+        step = nn.remat(_RRDBStep) if cfg.remat else _RRDBStep
         trunk = nn.scan(
-            _RRDBStep,
+            step,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=cfg.num_residual_blocks,

@@ -8,8 +8,10 @@
 // Build: see native/build.sh (g++ -O2 -shared -fPIC).
 // ABI: plain C functions, loaded via ctypes (no pybind11 in this image).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -185,6 +187,43 @@ long long tiff_lzw_decode(const uint8_t* in, long long n, uint8_t* out,
     if (table_size >= (1 << width) - 1 && width < 12) width += 1;
   }
   return written;
+}
+
+// Encode many independent blocks in parallel (TIFF strips/tiles compress
+// independently). `in` is the concatenation of all blocks; `in_offsets` has
+// n_blocks+1 entries. Each output block gets `out_stride` bytes at
+// out + i*out_stride; written lengths land in out_lens (-1 if a block
+// overflowed its stride). Threads: min(n_threads, blocks, hw concurrency).
+long long tiff_lzw_encode_blocks(const uint8_t* in, const long long* in_offsets,
+                                 int n_blocks, uint8_t* out,
+                                 long long out_stride, long long* out_lens,
+                                 int n_threads) {
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  if (hw <= 0) hw = 1;
+  int workers = n_threads > 0 ? n_threads : hw;
+  if (workers > n_blocks) workers = n_blocks;
+  if (workers > hw) workers = hw;
+
+  std::atomic<int> next{0};
+  auto work = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n_blocks) break;
+      const uint8_t* src = in + in_offsets[i];
+      long long len = in_offsets[i + 1] - in_offsets[i];
+      out_lens[i] = tiff_lzw_encode(src, len, out + i * out_stride, out_stride);
+    }
+  };
+  if (workers <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < workers; ++t) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+  }
+  for (int i = 0; i < n_blocks; ++i)
+    if (out_lens[i] < 0) return -1;
+  return 0;
 }
 
 // Horizontal differencing predictor (TIFF predictor 2) for int16 rows,

@@ -147,3 +147,23 @@ def test_split_is_reference_shaped():
     assert len(np.intersect1d(train_idx, dev_idx)) == 0
     batches = epoch_batches(train_idx, 128, np.random.RandomState(0))
     assert batches.shape == (28, 128)
+
+
+def test_remat_generator_trains(setup):
+    """jax.checkpoint'd trunk: gradients flow, params match non-remat to fp32
+    tolerance after one step."""
+    g_model_r = Generator(GeneratorConfig(num_residual_blocks=1, remat=True))
+    g_model, d_model, state, dataset = setup
+    batch = dataset.take(jnp.arange(2))
+    step_r = jax.jit(make_train_step(g_model_r, d_model, TINY_T))
+    step_n = jax.jit(make_train_step(g_model, d_model, TINY_T))
+    s_r, m_r = step_r(state, batch)
+    s_n, m_n = step_n(jax.tree_util.tree_map(jnp.copy, state), batch)
+    np.testing.assert_allclose(
+        float(m_r.generator_loss), float(m_n.generator_loss), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_r.g_params),
+        jax.tree_util.tree_leaves(s_n.g_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
