@@ -114,7 +114,6 @@ class InferenceConfig:
     tile_out: int = 1000  # output pixels per tile side (250 m px -> 250 km tiles)
     halo_lr: int = 18  # extra low-res input pixels at borders ("xtrapad")
     scale: int = 4
-    batch_tiles: int = 1  # tiles predicted per device step
     tile_axis: str = "data"  # mesh axis to shard the tile grid over
 
 

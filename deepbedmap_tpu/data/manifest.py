@@ -85,6 +85,29 @@ def download_to_path(
     return path
 
 
+def write_catalog_markdown(
+    yaml_file: str = DEFAULT_MANIFEST, out_path: Optional[str] = None
+) -> str:
+    """Markdown table of the dataset catalogue (the reference autogenerates
+    folder READMEs from its manifest, data_prep.py:170-205)."""
+    records = parse_datalist(yaml_file)
+    lines = [
+        "| Filename | Group | Folder | Resolution | DOI |",
+        "|---|---|---|---|---|",
+    ]
+    for r in records:
+        lines.append(
+            f"| [{r['filename']}]({r.get('url', '')}) | {r.get('group', r.get('citekey', ''))} "
+            f"| {r.get('folder', '')} | {r.get('resolution', '')} "
+            f"| {r.get('doi', '')} |"
+        )
+    text = "\n".join(lines) + "\n"
+    if out_path is not None:
+        with open(out_path, "w") as f:
+            f.write(text)
+    return text
+
+
 def verify_datalist(
     yaml_file: str, root: str = ".", strict: bool = True
 ) -> Dict[str, bool]:

@@ -13,3 +13,7 @@ from deepbedmap_tpu.inference.engine import (  # noqa: F401
     predict_region_tiled,
     make_tile_forward,
 )
+from deepbedmap_tpu.inference.continent import (  # noqa: F401
+    predict_continent,
+    save_continent_dem,
+)
