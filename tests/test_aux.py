@@ -115,3 +115,28 @@ def test_metric_logger(tmp_path):
     assert lines[2]["step"] == 1 and lines[2]["loss"] == 1.2
     csv_text = open(tmp_path / "run.csv").read()
     assert "loss" in csv_text and "1.2" in csv_text
+
+
+def test_fixed_evaluator():
+    """Fixed-test-region evaluator: RMSE of the generator over a cached
+    region vs xyz tracks (reference srgan_train.py:1393-1466)."""
+    from deepbedmap_tpu.config import GeneratorConfig
+    from deepbedmap_tpu.evalx.fixed import make_fixed_evaluator
+    from deepbedmap_tpu.models import build_generator
+
+    model, params = build_generator(GeneratorConfig(num_residual_blocks=1))
+    rs = np.random.RandomState(0)
+    inputs = {
+        "X": rs.rand(1, 1, 11, 11).astype(np.float32),
+        "W1": rs.rand(1, 1, 110, 110).astype(np.float32),
+        "W2": rs.rand(1, 2, 22, 22).astype(np.float32),
+        "W3": rs.rand(1, 1, 11, 11).astype(np.float32),
+    }
+    bounds = (0.0, 0.0, 9000.0, 9000.0)  # 36 px at 250 m
+    tx = rs.uniform(500, 8500, 50)
+    ty = rs.uniform(500, 8500, 50)
+    tz = rs.randn(50).astype(np.float32)
+    evaluate = make_fixed_evaluator(model, inputs, (tx, ty, tz), bounds)
+    r1 = evaluate(params)
+    r2 = evaluate(params)
+    assert np.isfinite(r1) and r1 == r2
