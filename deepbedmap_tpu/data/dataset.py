@@ -16,7 +16,7 @@ reference train tiles per epoch).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ framework carries its own codec:
 from __future__ import annotations
 
 import struct
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

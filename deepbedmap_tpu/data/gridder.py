@@ -9,7 +9,7 @@ resamples gridline -> pixel registration, returning a Raster.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

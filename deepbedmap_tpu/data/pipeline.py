@@ -15,7 +15,6 @@ import json
 import os
 from typing import Dict
 
-import numpy as np
 import pandas as pd
 
 from deepbedmap_tpu.data.proj import lonlat_to_xy

@@ -10,7 +10,7 @@ each call costs one device execution + a track-sampling reduction.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import numpy as np
 

@@ -9,8 +9,8 @@ canvas. Here that is:
   px (x the per-raster resolution ratio), so every tile crop is identical and
   the whole loop is a ``lax.scan`` of ``dynamic_slice`` -> forward ->
   ``dynamic_update_slice`` — one XLA program, no host round-trips;
-- tiles can be batched (``batch_tiles``) to fill the MXU, and the scan axis is
-  the unit that ``parallel.sharded_predict`` shards across the device mesh.
+- the scan axis is the unit that ``parallel.sharded_predict_tiles`` shards
+  across the device mesh.
 
 Registration note: the reference's continent loop indexes its *padded* BEDMAP2
 array with unpadded-coordinate arithmetic (deepbedmap.py:707-711 vs the
@@ -23,12 +23,10 @@ path (deepbedmap.py:420-447) instead, where output bounds equal the request.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 # resolution ratio of each conditioning raster relative to the low-res bed grid

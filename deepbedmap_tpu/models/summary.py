@@ -4,7 +4,7 @@ optional DOT rendering of the module hierarchy."""
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import List, Tuple
 
 import jax
 import numpy as np

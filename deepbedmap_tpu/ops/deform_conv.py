@@ -20,7 +20,7 @@ zero, matching zero ('valid'-style) padding semantics.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ bounds (left/top edges), rows run top->bottom.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

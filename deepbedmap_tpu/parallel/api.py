@@ -14,12 +14,11 @@ canvas with pure reshapes/transposes, which GSPMD handles on sharded inputs.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from deepbedmap_tpu.config import LossConfig, TrainConfig
 from deepbedmap_tpu.inference.engine import TilePlan, make_tile_forward, pad_inputs

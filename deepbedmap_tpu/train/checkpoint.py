@@ -24,7 +24,7 @@ validate against released weights when numerical parity matters.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

@@ -8,7 +8,7 @@ states — so a single donated argument flows through the jitted train step.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any
 
 import flax.struct
 import jax

@@ -18,8 +18,7 @@ Parity-relevant semantics preserved from the reference:
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable, Dict, Tuple
 
 import flax.struct
 import jax

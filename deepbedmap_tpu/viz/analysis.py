@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def standard_deviation_2d(grid: jax.Array, window: int = 5) -> jax.Array:

@@ -5,7 +5,7 @@ track-error histograms (deepbedmap.py:577-626)."""
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 
