@@ -1,0 +1,69 @@
+"""Reference-scale training benchmark: the exact training configuration of the
+paper (3826 tiles, 95/5 split, batch 128, 12-RRDB generator, fused D+G step)
+run for real on the attached TPU with synthetic data.
+
+The reference trains ~150 epochs in ~30 min on a V100
+(paper/tc-2020-74.tex:629-631) = ~12 s/epoch. Prints measured epoch times.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from deepbedmap_tpu.config import GeneratorConfig, TrainConfig
+    from deepbedmap_tpu.data.dataset import TileDataset, epoch_batches, train_dev_split
+    from deepbedmap_tpu.models import Discriminator, Generator
+    from deepbedmap_tpu.train import create_gan_state
+    from deepbedmap_tpu.train.loop import make_epoch_fns
+
+    g_cfg = GeneratorConfig()  # flagship 12 RRDB
+    t_cfg = TrainConfig(batch_size=128)
+    g_model, d_model = Generator(g_cfg), Discriminator()
+
+    dataset = TileDataset.synthetic(3826, seed=0)  # reference tile count
+    state = create_gan_state(g_cfg, t_cfg=t_cfg)
+    train_idx, dev_idx = train_dev_split(len(dataset))
+    train_fn, eval_fn = make_epoch_fns(g_model, d_model, dataset, t_cfg)
+    rs = np.random.RandomState(42)
+
+    # compile + warm epoch
+    batches = jnp.asarray(epoch_batches(train_idx, 128, rs))
+    t0 = time.perf_counter()
+    state, metrics = train_fn(state, batches)
+    _ = float(metrics.generator_loss[-1])
+    compile_and_first = time.perf_counter() - t0
+
+    epochs = 5
+    times = []
+    for _ in range(epochs):
+        batches = jnp.asarray(epoch_batches(train_idx, 128, rs))
+        t0 = time.perf_counter()
+        state, metrics = train_fn(state, batches)
+        g_loss = float(metrics.generator_loss[-1])  # forces completion
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(g_loss)
+
+    per_epoch = float(np.median(times))
+    print(
+        json.dumps(
+            {
+                "metric": "reference_scale_epoch",
+                "value": round(per_epoch, 3),
+                "unit": "s/epoch (3626-tile split, 28 steps of 128, D+G)",
+                "compile_plus_first_epoch_s": round(compile_and_first, 1),
+                "projected_140_epochs_min": round(140 * per_epoch / 60, 2),
+                "reference_v100_min": 30,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
