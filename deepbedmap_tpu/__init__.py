@@ -28,3 +28,4 @@ from deepbedmap_tpu.config import (  # noqa: F401
     TrainConfig,
     InferenceConfig,
 )
+from deepbedmap_tpu.api import DeepBedMap  # noqa: F401

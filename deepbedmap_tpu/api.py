@@ -1,0 +1,160 @@
+"""Top-level user API: one object tying model, weights, inference and eval.
+
+The reference's user surface is "load weights from Comet, call model.forward
+on tiles you cropped yourself" (deepbedmap.py:381-447). Here:
+
+    from deepbedmap_tpu import DeepBedMap
+
+    dbm = DeepBedMap()                        # fresh weights
+    dbm = DeepBedMap.from_checkpoint(path)    # Orbax train state
+    dbm = DeepBedMap.from_chainer_npz(path)   # reference-format weights
+
+    dem = dbm.predict(window_bound, rasters)            # one region -> Raster
+    dem = dbm.predict_continent(rasters, bounds, out)   # band-streamed + GeoTIFF
+    rmse = dbm.track_rmse(dem, x, y, z)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from deepbedmap_tpu.config import GeneratorConfig, InferenceConfig
+from deepbedmap_tpu.data.raster import Raster
+
+Bounds = Tuple[float, float, float, float]  # (xmin, ymin, xmax, ymax)
+
+
+class DeepBedMap:
+    """A trained (or fresh) super-resolution bed-DEM model with inference
+    conveniences. All heavy compute is jitted on first use and cached."""
+
+    def __init__(
+        self,
+        params=None,
+        cfg: GeneratorConfig = GeneratorConfig(),
+        resolution: float = 250.0,
+    ):
+        from deepbedmap_tpu.models import build_generator
+        from deepbedmap_tpu.models.generator import Generator
+
+        self.cfg = cfg
+        self.resolution = resolution
+        if params is None:
+            self.model, self.params = build_generator(cfg)
+        else:
+            self.model = Generator(cfg)
+            self.params = params
+        self._forward = None
+
+    # ---- constructors ----
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg: GeneratorConfig = GeneratorConfig()):
+        """Load generator params from an Orbax GANState checkpoint."""
+        from deepbedmap_tpu.train.checkpoint import restore_checkpoint
+        from deepbedmap_tpu.train.state import create_gan_state
+
+        template = create_gan_state(cfg)
+        state = restore_checkpoint(path, template)
+        return cls(state.g_params, cfg)
+
+    @classmethod
+    def from_chainer_npz(
+        cls,
+        path: str,
+        cfg: GeneratorConfig = GeneratorConfig(),
+        offset_order: str = "xy",
+    ):
+        """Load reference-format (Chainer save_npz) generator weights."""
+        from deepbedmap_tpu.train.checkpoint import import_chainer_generator_npz
+
+        params = import_chainer_generator_npz(
+            path, cfg.num_residual_blocks, offset_order
+        )
+        return cls(params, cfg)
+
+    # ---- forward ----
+    def forward_fn(self):
+        if self._forward is None:
+            import jax
+
+            model, params = self.model, self.params
+
+            @jax.jit
+            def fwd(x, w1, w2, w3):
+                return model.apply({"params": params}, x, w1, w2, w3)
+
+            self._forward = fwd
+        return self._forward
+
+    def predict(
+        self,
+        window_bound: Bounds,
+        rasters: Dict[str, Raster],
+        padding: float = 1000.0,
+    ) -> Raster:
+        """Predict one region. ``rasters`` keys: bed_lowres, surface,
+        velocity_x, velocity_y, accumulation (the reference's five inputs)."""
+        import jax.numpy as jnp
+
+        from deepbedmap_tpu.data.groundtruth import get_model_inputs
+
+        inputs = get_model_inputs(
+            window_bound,
+            rasters["bed_lowres"],
+            rasters["surface"],
+            rasters["velocity_x"],
+            rasters["velocity_y"],
+            rasters["accumulation"],
+            padding=padding,
+        )
+        fwd = self.forward_fn()
+        pred = fwd(
+            *(
+                jnp.asarray(np.asarray(inputs[k]).transpose(0, 2, 3, 1))
+                for k in ("X", "W1", "W2", "W3")
+            )
+        )
+        xmin, ymin, xmax, ymax = window_bound
+        return Raster(
+            np.asarray(pred)[0, :, :, 0],
+            left=xmin,
+            top=ymax,
+            res=self.resolution,
+        )
+
+    def predict_continent(
+        self,
+        inputs_nchw: Dict[str, np.ndarray],  # X/W1/W2/W3 full-region stacks
+        bounds: Bounds,
+        outfilepath: Optional[str] = None,
+        tile_out: int = 1000,
+        halo_lr: int = 18,
+    ) -> Raster:
+        """Band-streamed whole-region prediction; optionally writes the int16
+        LZW GeoTIFF product. Inputs follow the reference NCHW contract,
+        unpadded (covering exactly ``bounds``)."""
+        from deepbedmap_tpu.inference import TilePlan, predict_continent, save_continent_dem
+
+        xmin, ymin, xmax, ymax = bounds
+        out_w = int(round((xmax - xmin) / self.resolution))
+        out_h = int(round((ymax - ymin) / self.resolution))
+        plan = TilePlan(
+            out_h=out_h, out_w=out_w, tile_out=tile_out, halo_lr=halo_lr
+        )
+        host_inputs = {
+            k: np.asarray(v).transpose(0, 2, 3, 1) for k, v in inputs_nchw.items()
+        }
+        canvas = predict_continent(self.forward_fn(), host_inputs, plan)
+        if outfilepath is not None:
+            save_continent_dem(canvas, bounds, outfilepath)
+        return Raster(canvas, left=xmin, top=ymax, res=self.resolution)
+
+    # ---- eval ----
+    def track_rmse(
+        self, dem: Raster, x: np.ndarray, y: np.ndarray, z: np.ndarray
+    ) -> float:
+        from deepbedmap_tpu.evalx import track_rmse
+
+        return track_rmse(dem, x, y, z)
