@@ -109,3 +109,39 @@ def test_xyz_to_grid_end_to_end():
     zmin, zmax = xyz.z.min(), xyz.z.max()
     vals = raster.data[finite]
     assert vals.min() > zmin - 200 and vals.max() < zmax + 200
+
+
+def test_spline_agrees_with_thin_plate_rbf():
+    """Independent-solver check: at zero tension the variational problem is
+    the thin-plate (biharmonic) spline, so scipy's RBFInterpolator with the
+    same node constraints must produce a closely matching interior (boundary
+    conditions legitimately differ: RBF is global, our solver has free local
+    edges)."""
+    from scipy.interpolate import RBFInterpolator
+
+    rs = np.random.RandomState(3)
+    h = w = 33
+    px = rs.uniform(0, w - 1, 60)
+    py = rs.uniform(0, h - 1, 60)
+    pz = np.sin(px / 6.0) * np.cos(py / 7.0) * 10 + 0.3 * px
+
+    data = np.zeros((h, w), np.float32)
+    mask = np.zeros((h, w), bool)
+    for x_, y_, z_ in zip(np.round(px).astype(int), np.round(py).astype(int), pz):
+        data[y_, x_] = z_
+        mask[y_, x_] = True
+
+    ours = np.asarray(
+        solve_tension_spline(
+            jnp.asarray(data), jnp.asarray(mask), tension=0.0, iterations=600
+        )
+    )
+    pts = np.argwhere(mask)[:, ::-1].astype(float)
+    rbf = RBFInterpolator(pts, data[mask], kernel="thin_plate_spline")
+    gy, gx = np.mgrid[0:h, 0:w]
+    theirs = rbf(np.stack([gx.ravel(), gy.ravel()], -1)).reshape(h, w)
+
+    rng = theirs.max() - theirs.min()
+    diff = np.abs(ours - theirs)[4:-4, 4:-4] / rng
+    assert np.median(diff) < 0.01, np.median(diff)
+    assert diff.max() < 0.10, diff.max()
