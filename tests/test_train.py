@@ -167,3 +167,41 @@ def test_remat_generator_trains(setup):
         jax.tree_util.tree_leaves(s_n.g_params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("DBMT_SLOW"),
+    reason="slow learnability test; set DBMT_SLOW=1",
+)
+def test_generator_learns_synthetic_sr_task():
+    """Learnability: on a dataset where Y is a deterministic function of X
+    (bilinear 4x upsample), content loss must drop substantially over a few
+    epochs — evidence the training dynamics (losses, optimizers, BN) work."""
+    import jax.image
+
+    rs = np.random.RandomState(0)
+    n = 32
+    X = rs.rand(n, 1, 11, 11).astype(np.float32)
+    Y = np.stack(
+        [
+            np.asarray(
+                jax.image.resize(jnp.asarray(x[0, 1:-1, 1:-1]), (36, 36), "linear")
+            )[None]
+            for x in X
+        ]
+    )
+    arrays = {
+        "X": X,
+        "W1": np.zeros((n, 1, 110, 110), np.float32),
+        "W2": np.zeros((n, 2, 22, 22), np.float32),
+        "W3": np.zeros((n, 1, 11, 11), np.float32),
+        "Y": Y,
+    }
+    dataset = TileDataset.from_nchw(arrays)
+    t_cfg = TrainConfig(batch_size=8, learning_rate=1e-3, train_fraction=0.75)
+    g_cfg = GeneratorConfig(num_residual_blocks=1)
+    g_model, d_model = Generator(g_cfg), Discriminator(DiscriminatorConfig())
+    state = create_gan_state(g_cfg, t_cfg=t_cfg)
+    state, history = fit(state, dataset, g_model, d_model, t_cfg=t_cfg, epochs=8)
+    first, last = history[0]["generator_loss"], history[-1]["generator_loss"]
+    assert last < 0.6 * first, (first, last)
