@@ -44,6 +44,11 @@ class GeneratorConfig:
     # body): trades ~1 extra trunk forward for O(depth) less activation
     # memory — lets training batches grow well past the reference's 128.
     remat: bool = False
+    # Deformable-conv offset clamp in px (masked-shift span). Chainer's
+    # sampler is unbounded; learned offsets stay well inside +/-1 px, so
+    # clamp=1 halves the sampler cost with identical outputs on trained
+    # models — validate on your checkpoint before switching from 2.
+    deform_clamp: int = 2
 
     @property
     def concat_channels(self) -> int:

@@ -160,6 +160,11 @@ class DeformableConv(nn.Module):
     features: int
     init_scale: float = 0.1
     dtype: Any = None
+    # max |offset| in px the sampler evaluates exactly (masked-shift span);
+    # learned offsets sit well inside +/-1, so clamp=1 halves the sampler's
+    # term count at identical outputs on trained models. clamp=2 is the
+    # conservative default.
+    clamp: int = 2
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -181,5 +186,5 @@ class DeformableConv(nn.Module):
         # sampling + kernel matmul run fp32 regardless of compute dtype
         return deform_conv2d(
             x.astype(jnp.float32), offsets.astype(jnp.float32), weight, bias,
-            padding=1,
+            padding=1, clamp=self.clamp,
         )

@@ -112,9 +112,11 @@ class Generator(nn.Module):
         # 5: two deformable convolution output layers (fp32 internally)
         a5 = leaky_relu(
             DeformableConv(
-                cfg.base_channels, cfg.init_scale, dtype, name="final_conv_layer1"
+                cfg.base_channels, cfg.init_scale, dtype,
+                clamp=cfg.deform_clamp, name="final_conv_layer1"
             )(a4)
         )
         return DeformableConv(
-            cfg.out_channels, cfg.init_scale, dtype, name="final_conv_layer2"
+            cfg.out_channels, cfg.init_scale, dtype,
+            clamp=cfg.deform_clamp, name="final_conv_layer2"
         )(a5)

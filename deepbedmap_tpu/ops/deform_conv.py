@@ -183,11 +183,78 @@ def _deform_conv_shifts(
     return out
 
 
+def _deform_conv_shifts_zproj(
+    x: jax.Array,
+    offsets: jax.Array,
+    weight: jax.Array,
+    bias: Optional[jax.Array],
+    padding: int,
+    clamp: int,
+) -> jax.Array:
+    """Masked-shift sampler with the channel contraction re-associated:
+    because bilinear sampling is linear in the channels, project the input
+    through the tap weights FIRST (``z_t = x @ W_t``, one cheap matmul), then
+    run the (2*clamp+2)^2 masked shifts on the (N, H, W, C_out) projections.
+
+    Term-evaluation cost scales with C_out instead of C_in — for the
+    reference generator's final layer (64 -> 1, srgan_train.py:517-523) that
+    is a ~60x traffic cut. Same decomposition as ``_deform_conv_shifts``, so
+    outputs agree to fp32 round-off (~1e-6 relative).
+    """
+    n, h, w, c_in = x.shape
+    kh, kw, _, c_out = weight.shape
+    k = kh * kw
+
+    # (K, N, H, W, C_out) tap projections — K matmuls on the MXU
+    z = jnp.einsum(
+        "nhwc,kcd->knhwd",
+        x,
+        weight.reshape(k, c_in, c_out),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    big = padding + clamp + 1
+    z_big = jnp.pad(z, ((0, 0), (0, 0), (big, big), (big, big), (0, 0)))
+
+    acc = jnp.zeros((n, h, w, c_out), jnp.float32)
+    shifts = range(-clamp, clamp + 2)
+    for t in range(k):
+        u, v = t // kw, t % kw
+        dy = jnp.clip(offsets[..., t].astype(jnp.float32), -clamp, clamp)
+        dx = jnp.clip(offsets[..., k + t].astype(jnp.float32), -clamp, clamp)
+        iy = jnp.floor(dy)
+        ix = jnp.floor(dx)
+        fy = dy - iy
+        fx = dx - ix
+        wy = {s: (1.0 - fy) * (iy == s) + fy * (iy == s - 1) for s in shifts}
+        wx = {s: (1.0 - fx) * (ix == s) + fx * (ix == s - 1) for s in shifts}
+        for sy in shifts:
+            row0 = big + u - padding + sy
+            for sx in shifts:
+                col0 = big + v - padding + sx
+                patch = jax.lax.slice(
+                    z_big,
+                    (t, 0, row0, col0, 0),
+                    (t + 1, n, row0 + h, col0 + w, c_out),
+                )[0]
+                acc = acc + (wy[sy] * wx[sx])[..., None] * patch
+
+    out = acc.astype(x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _pallas_path(cfg, x, offsets, weight, bias):
-    from deepbedmap_tpu.ops.pallas_kernels import deform_conv2d_pallas
+    from deepbedmap_tpu.ops.pallas_kernels import (
+        deform_conv2d_pallas,
+        deform_conv2d_pallas_zproj1,
+    )
 
     padding, clamp = cfg
+    if weight.shape[3] == 1:
+        return deform_conv2d_pallas_zproj1(x, offsets, weight, bias, padding, clamp)
     return deform_conv2d_pallas(x, offsets, weight, bias, padding, clamp)
 
 
@@ -229,9 +296,13 @@ def deform_conv2d(
     srgan_train.py:506-523).
 
     method:
-      'auto' (default) — 'pallas' on TPU for large images (inference-scale),
-          'shifts' otherwise (small training tiles / CPU, where the kernel's
-          block padding outweighs its fusion win).
+      'auto' (default) — for large (inference-scale) images: 'zproj' when the
+          layer contracts channels (c_out*4 <= c_in, e.g. the final 64->1
+          layer) else 'pallas' on TPU; 'shifts' for small training tiles /
+          CPU, where the kernel's block padding outweighs its fusion win.
+      'zproj' — project channels through the tap weights first, then sample
+          the (N,H,W,C_out) projections with masked shifts; term cost scales
+          with C_out instead of C_in. Pure XLA, natively differentiable.
       'pallas' — VMEM-blocked TPU kernel: the sx shift-sum is a banded
           (128,128) matrix built from the offset masks, so each (tap, sy)
           term is one MXU matmul (ops.pallas_kernels; interpreted off-TPU;
@@ -245,7 +316,15 @@ def deform_conv2d(
     if method == "auto":
         on_tpu = jax.default_backend() == "tpu"
         large = x.shape[1] * x.shape[2] >= 256 * 256
-        method = "pallas" if (on_tpu and large) else "shifts"
+        contracting = weight.shape[3] * 4 <= weight.shape[2]
+        if on_tpu and large:
+            method = "pallas"  # dispatches to zproj1 kernel when c_out == 1
+        elif large and contracting:
+            method = "zproj"
+        else:
+            method = "shifts"
+    if method == "zproj":
+        return _deform_conv_shifts_zproj(x, offsets, weight, bias, padding, clamp)
     if method == "gather":
         return _deform_conv_gather(x, offsets, weight, bias, padding)
     if method == "shifts":

@@ -55,11 +55,13 @@ def _deform_rows_kernel(
     clamp: int,
     kh: int,
     kw: int,
+    mxu_bf16: bool = False,
 ):
     k = kh * kw
     c_in = x_ref.shape[3]
     c_out = out_ref.shape[3]
     span = 2 * clamp + 2
+    mxu_t = jnp.bfloat16 if mxu_bf16 else jnp.float32
 
     # lane-index grids for building the banded shift matrix S
     l_idx = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
@@ -91,12 +93,13 @@ def _deform_rows_kernel(
                 wx = ((1.0 - fx) * (ix == sx) + fx * (ix == sx - 1)) * valid
                 s_mat = s_mat + (band == sx) * wx[None, :]
 
+            s_use = s_mat.astype(mxu_t)
             y_t = jnp.zeros((c_in, _LANES), jnp.float32)
             for sy in range(-clamp, clamp + 2):
                 wy = (1.0 - fy) * (iy == sy) + fy * (iy == sy - 1)
                 slab = x_ref[0, r + row_halo + (u - padding) + sy, 0]  # (C, 128)
                 y_t = y_t + wy[None, :] * jnp.dot(
-                    slab, s_mat, preferred_element_type=jnp.float32
+                    slab.astype(mxu_t), s_use, preferred_element_type=jnp.float32
                 )
 
             return acc + jnp.dot(
@@ -121,11 +124,19 @@ def deform_conv2d_pallas(
     clamp: int = 2,
     block_rows: int = 64,
     interpret: Optional[bool] = None,
+    mxu_bf16: bool = False,
+    kernel_body: str = "auto",
 ) -> jax.Array:
     """Forward-only Pallas deformable conv (see module docstring).
 
     H/W are padded up to block multiples internally; output is cropped back.
     ``interpret`` defaults to True off-TPU so tests run on the CPU mesh.
+    ``mxu_bf16`` runs the banded shift matmuls with bf16 multiplicands
+    (fp32 accumulation) — single-pass on the MXU, ~4e-3 relative feature
+    error; note XLA's DEFAULT precision already does exactly this to every
+    conv in the surrounding model on TPU.
+    ``kernel_body``: 'banded' (S-matrix matmuls), 'rolls' (static lane
+    rotations, wins at clamp <= 1), or 'auto' (rolls iff clamp <= 1).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -191,14 +202,21 @@ def deform_conv2d_pallas(
         else bias.reshape(1, c_out, 1)
     )
 
+    if kernel_body == "auto":
+        kernel_body = "rolls" if clamp <= 1 else "banded"
+    body = {"banded": _deform_rows_kernel, "rolls": _deform_rolls_kernel}[
+        kernel_body
+    ]
+    extra = {"mxu_bf16": mxu_bf16} if kernel_body == "banded" else {}
     kernel = functools.partial(
-        _deform_rows_kernel,
+        body,
         bh=bh,
         row_halo=row_halo,
         padding=padding,
         clamp=clamp,
         kh=kh,
         kw=kw,
+        **extra,
     )
 
     out = pl.pallas_call(
@@ -235,6 +253,558 @@ def deform_conv2d_pallas(
 
     # (T, bh, 1, C_out, 128) -> (N, H, W, C_out); keep lanes [0, _BW)
     out = out[:, :, 0, :, :_BW]  # (T, bh, C_out, bw)
+    out = (
+        out.reshape(n, gy, gx, bh, c_out, _BW)
+        .transpose(0, 1, 3, 2, 5, 4)
+        .reshape(n, hp, wp, c_out)
+    )
+    return out[:, :h, :w, :]
+
+
+def _deform_rolls_kernel(
+    x_ref,  # (1, bh + 2*rh, 1, C, 128) VMEM
+    off_ref,  # (1, bh, 2K, 1, 128) VMEM
+    w_ref,  # (K, C_out, C) VMEM
+    b_ref,  # (1, C_out, 1) VMEM
+    out_ref,  # (1, bh, 1, C_out, 128) VMEM
+    *,
+    bh: int,
+    row_halo: int,
+    padding: int,
+    clamp: int,
+    kh: int,
+    kw: int,
+):
+    """Roll-based kernel body: the (2*clamp+2)^2 masked-shift terms are
+    evaluated as static lane rotations + FMAs on the (span*C, 128) slab stack
+    (pure VPU), with one tap matmul per (row, tap) left on the MXU. Beats the
+    banded-matmul body when the term count is small (clamp <= 1): both are
+    ~VPU/issue-bound, but the rolls body's per-term cost scales with the
+    span while the banded body always pays full (128,128) matmuls.
+    """
+    k = kh * kw
+    c_in = x_ref.shape[3]
+    c_out = out_ref.shape[3]
+    span = 2 * clamp + 2
+
+    def row_body(r, _):
+        acc = jnp.zeros((c_out, _LANES), jnp.float32)
+        for t in range(k):
+            u, v = t // kw, t % kw
+            dy = jnp.clip(
+                off_ref[0, r, t, 0, :].astype(jnp.float32), -clamp, clamp
+            )
+            dx = jnp.clip(
+                off_ref[0, r, k + t, 0, :].astype(jnp.float32), -clamp, clamp
+            )
+            iy = jnp.floor(dy)
+            ix = jnp.floor(dx)
+            fy = dy - iy
+            fx = dx - ix
+            base = row_halo + (v - padding)
+            a = r + row_halo + (u - padding) - clamp
+            stack = x_ref[0, pl.ds(a, span), 0].reshape(span * c_in, _LANES)
+            h = jnp.zeros((span * c_in, _LANES), jnp.float32)
+            for sx in range(-clamp, clamp + 2):
+                wx = (1.0 - fx) * (ix == sx) + fx * (ix == sx - 1)
+                h = h + wx[None, :] * jnp.roll(stack, -(base + sx), axis=1)
+            hh = h.reshape(span, c_in, _LANES)
+            wy = jnp.stack(
+                [
+                    (1.0 - fy) * (iy == sy) + fy * (iy == sy - 1)
+                    for sy in range(-clamp, clamp + 2)
+                ]
+            )  # (span, 128)
+            y_t = jnp.sum(hh * wy[:, None, :], axis=0)
+            acc = acc + jnp.dot(
+                w_ref[t], y_t, preferred_element_type=jnp.float32
+            )
+        out_ref[0, r, 0] = (acc + b_ref[0]).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, bh, row_body, 0)
+
+
+def _deform_zproj1_kernel(
+    z_ref,  # (1, bh + 2*rh, K, 128) VMEM — per-tap projections, lane-preshifted
+    off_ref,  # (1, bh, 2K, 1, 128) VMEM
+    b_ref,  # (1, 1, 1) VMEM
+    out_ref,  # (1, bh, 1, 128) VMEM
+    *,
+    bh: int,
+    row_halo: int,
+    padding: int,
+    clamp: int,
+    kh: int,
+    kw: int,
+):
+    """Sampling-only kernel for the C_out == 1 zproj path: the tap projections
+    ``z_t = x @ W_t`` arrive precomputed (XLA matmul) with each tap's static
+    column offset already rolled in; this body evaluates the masked-shift
+    bilinear terms for 8 output rows per VPU op (rows on the sublane axis).
+    """
+    k = kh * kw
+
+    def row8_body(r8, _):
+        r = r8 * 8
+        dy = jnp.clip(
+            off_ref[0, pl.ds(r, 8), pl.ds(0, k), 0].astype(jnp.float32),
+            -clamp,
+            clamp,
+        )  # (8, K, 128)
+        dx = jnp.clip(
+            off_ref[0, pl.ds(r, 8), pl.ds(k, k), 0].astype(jnp.float32),
+            -clamp,
+            clamp,
+        )
+        iy = jnp.floor(dy)
+        ix = jnp.floor(dx)
+        fy = dy - iy
+        fx = dx - ix
+        wxs = [
+            (1.0 - fx) * (ix == sx) + fx * (ix == sx - 1)
+            for sx in range(-clamp, clamp + 2)
+        ]
+
+        total = jnp.zeros((8, _LANES), jnp.float32)
+        for sy in range(-clamp, clamp + 2):
+            wy = (1.0 - fy) * (iy == sy) + fy * (iy == sy - 1)  # (8, K, 128)
+            for g in range(kh):  # tap row-group u == g
+                slab = z_ref[
+                    0,
+                    pl.ds(r + row_halo + (g - padding) + sy, 8),
+                    pl.ds(g * kw, kw),
+                ]  # (8, kw, 128) — row i holds the sample row for output r+i
+                acc = jnp.zeros((8, kw, _LANES), jnp.float32)
+                for xi in range(2 * clamp + 2):
+                    w = (
+                        wy[:, g * kw : (g + 1) * kw]
+                        * wxs[xi][:, g * kw : (g + 1) * kw]
+                    )
+                    rolled = jnp.roll(slab, -(row_halo + xi - clamp), axis=2)
+                    acc = acc + w * rolled
+                total = total + acc.sum(axis=1)
+
+        out_ref[0, pl.ds(r, 8), 0] = (total + b_ref[0]).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, bh // 8, row8_body, 0)
+
+
+def deform_conv2d_pallas_zproj1(
+    x: jax.Array,  # (N, H, W, C_in) NHWC
+    offsets: jax.Array,  # (N, H, W, 2*K)
+    weight: jax.Array,  # (kh, kw, C_in, 1)
+    bias: Optional[jax.Array] = None,
+    padding: int = 1,
+    clamp: int = 2,
+    block_rows: int = 64,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Single-output-channel deformable conv (the reference generator's final
+    layer, srgan_train.py:517-523): project the input through the tap weights
+    in XLA first (linearity of bilinear sampling), then sample the 9 scalar
+    fields in a thin row-vectorized Pallas kernel. ~10x the banded v1 kernel
+    at this shape.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, h, w, c_in = x.shape
+    kh, kw, _, c_out = weight.shape
+    assert c_out == 1, "zproj1 kernel is specific to C_out == 1"
+    k = kh * kw
+    assert padding + clamp + 1 <= _LANE_HALO, "shift reach exceeds lane halo"
+    row_halo = _LANE_HALO
+    bh = block_rows
+
+    hp = -(-h // bh) * bh
+    wp = -(-w // _BW) * _BW
+    gy, gx = hp // bh, wp // _BW
+    num_tiles = n * gy * gx
+
+    # (N, K, H, W) tap projections at full fp32 matmul precision
+    z = jnp.einsum(
+        "nhwc,kc->nkhw",
+        x,
+        weight.reshape(k, c_in),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    z_big = jnp.pad(
+        z,
+        (
+            (0, 0),
+            (0, 0),
+            (row_halo, row_halo + hp - h),
+            (_LANE_HALO, _LANE_HALO + wp - w),
+        ),
+    )
+    # fold each tap's static column offset into the lane frame
+    z_big = jnp.stack(
+        [
+            jnp.roll(z_big[:, t], -(t % kw - padding), axis=-1)
+            if t % kw != padding
+            else z_big[:, t]
+            for t in range(k)
+        ],
+        axis=1,
+    )
+
+    starts = jnp.asarray(
+        [
+            (ni, ty * bh, tx * _BW)
+            for ni in range(n)
+            for ty in range(gy)
+            for tx in range(gx)
+        ],
+        jnp.int32,
+    )
+
+    def grab(s):
+        sl = jax.lax.dynamic_slice(
+            z_big,
+            (s[0], 0, s[1], s[2]),
+            (1, k, bh + 2 * row_halo, _LANES),
+        )[0]
+        return jnp.transpose(sl, (1, 0, 2))  # (rows, K, 128)
+
+    z_tiles = jax.vmap(grab)(starts)  # (T, rows, K, 128)
+
+    off_p = jnp.pad(offsets, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    off_t = (
+        off_p.reshape(n, gy, bh, gx, _BW, 2 * k)
+        .transpose(0, 1, 3, 2, 5, 4)
+        .reshape(num_tiles, bh, 2 * k, 1, _BW)
+    )
+    off_t = jnp.pad(off_t, ((0, 0), (0, 0), (0, 0), (0, 0), (0, 2 * _LANE_HALO)))
+
+    b = (
+        jnp.zeros((1, 1, 1), x.dtype)
+        if bias is None
+        else bias.reshape(1, 1, 1)
+    )
+
+    kernel = functools.partial(
+        _deform_zproj1_kernel,
+        bh=bh,
+        row_halo=row_halo,
+        padding=padding,
+        clamp=clamp,
+        kh=kh,
+        kw=kw,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, bh + 2 * row_halo, k, _LANES),
+                lambda t: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bh, 2 * k, 1, _LANES),
+                lambda t: (t, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1, 1), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bh, 1, _LANES),
+            lambda t: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, bh, 1, _LANES), x.dtype),
+        interpret=interpret,
+    )(z_tiles, off_t, b)
+
+    out = out[:, :, 0, :_BW]  # (T, bh, bw)
+    out = (
+        out.reshape(n, gy, gx, bh, _BW)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(n, hp, wp, 1)
+    )
+    return out[:, :h, :w, :]
+
+
+def _deform_zform_kernel(
+    x_ref,  # (1, bh + 2*rh, 1, C, 128) VMEM — halo'd row slabs
+    off_ref,  # (1, bh, 2K, 1, 128) VMEM
+    w_ref,  # (K*C_out, C) VMEM — tap-major projection matrix
+    b_ref,  # (1, C_out, 1) VMEM
+    out_ref,  # (1, bh, 1, C_out, 128) VMEM
+    z_ref,  # (bh + 2*rh, K*C_out, 128) VMEM scratch — per-tap projections
+    *,
+    bh: int,
+    row_halo: int,
+    padding: int,
+    clamp: int,
+    kh: int,
+    kw: int,
+):
+    """v2 ("zform") deformable-conv kernel body.
+
+    Because sampling is linear in the channels, project the input through the
+    tap weights FIRST (one MXU matmul per window row: ``Z_t = W_t^T x``,
+    lane-pre-shifted by the tap's static column offset), then evaluate the
+    (2*clamp+2)^2 masked-shift bilinear terms on the (K*C_out, 128) projection
+    stack — all K taps ride along the sublane axis of every VPU op, so the
+    per-term cost no longer multiplies by K. ~2.3x the banded-matmul v1 at
+    c_out=64 and ~20x at c_out=1 (the reference generator's final layer,
+    srgan_train.py:517-523).
+    """
+    k = kh * kw
+    c_out = out_ref.shape[3]
+    rows_win = bh + 2 * row_halo
+
+    # One tap row-group (u == g, kw taps) at a time: scratch holds only that
+    # group's projections, and groups accumulate into out_ref.
+    for g in range(kh):
+
+        def project_row(wr, _, g=g):
+            xrow = x_ref[0, wr, 0]  # (C, 128)
+            z = jnp.dot(
+                w_ref[pl.ds(g * kw * c_out, kw * c_out)],
+                xrow,
+                preferred_element_type=jnp.float32,
+            )
+            # pre-shift each tap's block by its static column offset
+            parts = []
+            for vi in range(kw):
+                blk = z[vi * c_out : (vi + 1) * c_out]
+                if vi != padding:
+                    blk = jnp.roll(blk, -(vi - padding), axis=1)
+                parts.append(blk)
+            z_ref[wr] = jnp.concatenate(parts, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, rows_win, project_row, 0)
+
+        if c_out == 1 and bh % 8 == 0:
+            # Row-vectorized path: with a single output channel the per-row
+            # slabs are (kw, 128) — too thin to fill the VPU — so process 8
+            # output rows per op with rows riding the sublane axis.
+            def row8_body(r8, _, g=g):
+                r = r8 * 8
+                dy = jnp.clip(
+                    off_ref[0, pl.ds(r, 8), pl.ds(g * kw, kw), 0].astype(
+                        jnp.float32
+                    ),
+                    -clamp,
+                    clamp,
+                )  # (8, kw, 128)
+                dx = jnp.clip(
+                    off_ref[0, pl.ds(r, 8), pl.ds(k + g * kw, kw), 0].astype(
+                        jnp.float32
+                    ),
+                    -clamp,
+                    clamp,
+                )
+                iy = jnp.floor(dy)
+                ix = jnp.floor(dx)
+                fy = dy - iy
+                fx = dx - ix
+                wxs = [
+                    (1.0 - fx) * (ix == sx) + fx * (ix == sx - 1)
+                    for sx in range(-clamp, clamp + 2)
+                ]
+
+                acc = jnp.zeros((8, kw, _LANES), jnp.float32)
+                for sy in range(-clamp, clamp + 2):
+                    wy = (1.0 - fy) * (iy == sy) + fy * (iy == sy - 1)
+                    slab = z_ref[
+                        pl.ds(r + row_halo + (g - padding) + sy, 8)
+                    ]  # (8, kw, 128) — row i holds sample row for output r+i
+                    for xi in range(2 * clamp + 2):
+                        w = wy * wxs[xi]
+                        rolled = jnp.roll(
+                            slab, -(row_halo + xi - clamp), axis=2
+                        )
+                        acc = acc + w * rolled
+
+                total = acc.sum(axis=1)  # (8, 128)
+                if g == 0:
+                    total = total + b_ref[0]
+                else:
+                    total = total + out_ref[0, pl.ds(r, 8), 0, 0]
+                out_ref[0, pl.ds(r, 8), 0, 0] = total.astype(out_ref.dtype)
+                return 0
+
+            jax.lax.fori_loop(0, bh // 8, row8_body, 0)
+            continue
+
+        def row_body(r, _, g=g):
+            dy = jnp.clip(
+                off_ref[0, r, pl.ds(g * kw, kw), 0].astype(jnp.float32),
+                -clamp,
+                clamp,
+            )  # (kw, 128)
+            dx = jnp.clip(
+                off_ref[0, r, pl.ds(k + g * kw, kw), 0].astype(jnp.float32),
+                -clamp,
+                clamp,
+            )
+            iy = jnp.floor(dy)
+            ix = jnp.floor(dx)
+            fy = dy - iy
+            fx = dx - ix
+            wxs = [
+                (1.0 - fx) * (ix == sx) + fx * (ix == sx - 1)
+                for sx in range(-clamp, clamp + 2)
+            ]
+
+            acc = jnp.zeros((kw, c_out, _LANES), jnp.float32)
+            for sy in range(-clamp, clamp + 2):
+                wy = (1.0 - fy) * (iy == sy) + fy * (iy == sy - 1)  # (kw, 128)
+                slab = z_ref[r + row_halo + (g - padding) + sy].reshape(
+                    kw, c_out, _LANES
+                )
+                for xi in range(2 * clamp + 2):
+                    w = wy * wxs[xi]  # (kw, 128)
+                    rolled = jnp.roll(slab, -(row_halo + xi - clamp), axis=2)
+                    acc = acc + w[:, None, :] * rolled
+
+            total = acc.sum(axis=0)
+            if g == 0:
+                total = total + b_ref[0]
+            else:
+                total = total + out_ref[0, r, 0]
+            out_ref[0, r, 0] = total.astype(out_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, bh, row_body, 0)
+
+
+def deform_conv2d_pallas_zform(
+    x: jax.Array,  # (N, H, W, C_in) NHWC
+    offsets: jax.Array,  # (N, H, W, 2*K)
+    weight: jax.Array,  # (kh, kw, C_in, C_out)
+    bias: Optional[jax.Array] = None,
+    padding: int = 1,
+    clamp: int = 2,
+    block_rows: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Deformable conv v1 forward via the zform kernel (see kernel docstring).
+
+    Numerics: identical decomposition to ``_deform_conv_shifts`` with the
+    channel contraction re-associated (projection before sampling), so outputs
+    agree to fp32 round-off (~1e-6 relative), not bit-exactly.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, h, w, c_in = x.shape
+    kh, kw, _, c_out = weight.shape
+    k = kh * kw
+    assert padding + clamp + 1 <= _LANE_HALO, "shift reach exceeds lane halo"
+    row_halo = _LANE_HALO
+    if block_rows is None:
+        # keep the (bh + 2*rh, kw*C_out, 128) fp32 scratch under ~4 MB
+        budget = 4 * 2**20 // (kw * c_out * _LANES * 4)
+        block_rows = max(8, min(64, (budget - 2 * row_halo) // 8 * 8))
+    bh = block_rows
+
+    hp = -(-h // bh) * bh
+    wp = -(-w // _BW) * _BW
+    gy, gx = hp // bh, wp // _BW
+    num_tiles = n * gy * gx
+
+    x_cf = jnp.transpose(x, (0, 3, 1, 2))
+    x_big = jnp.pad(
+        x_cf,
+        (
+            (0, 0),
+            (0, 0),
+            (row_halo, row_halo + hp - h),
+            (_LANE_HALO, _LANE_HALO + wp - w),
+        ),
+    )
+
+    starts = jnp.asarray(
+        [
+            (ni, ty * bh, tx * _BW)
+            for ni in range(n)
+            for ty in range(gy)
+            for tx in range(gx)
+        ],
+        jnp.int32,
+    )
+
+    def grab(s):
+        sl = jax.lax.dynamic_slice(
+            x_big,
+            (s[0], 0, s[1], s[2]),
+            (1, c_in, bh + 2 * row_halo, _LANES),
+        )[0]
+        return jnp.transpose(sl, (1, 0, 2))[:, None]
+
+    x_tiles = jax.vmap(grab)(starts)  # (T, bh+2rh, 1, C, 128)
+
+    off_p = jnp.pad(offsets, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    off_t = (
+        off_p.reshape(n, gy, bh, gx, _BW, 2 * k)
+        .transpose(0, 1, 3, 2, 5, 4)
+        .reshape(num_tiles, bh, 2 * k, 1, _BW)
+    )
+    off_t = jnp.pad(off_t, ((0, 0), (0, 0), (0, 0), (0, 0), (0, 2 * _LANE_HALO)))
+
+    # tap-major projection matrix: rows t*c_out + co hold weight[u, v, :, co]
+    w_t = jnp.transpose(weight.reshape(k, c_in, c_out), (0, 2, 1)).reshape(
+        k * c_out, c_in
+    )
+    b = (
+        jnp.zeros((1, c_out, 1), x.dtype)
+        if bias is None
+        else bias.reshape(1, c_out, 1)
+    )
+
+    kernel = functools.partial(
+        _deform_zform_kernel,
+        bh=bh,
+        row_halo=row_halo,
+        padding=padding,
+        clamp=clamp,
+        kh=kh,
+        kw=kw,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, bh + 2 * row_halo, 1, c_in, _LANES),
+                lambda t: (t, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bh, 2 * k, 1, _LANES),
+                lambda t: (t, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k * c_out, c_in), lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, c_out, 1), lambda t: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bh, 1, c_out, _LANES),
+            lambda t: (t, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_tiles, bh, 1, c_out, _LANES), x.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bh + 2 * row_halo, kw * c_out, _LANES), jnp.float32)
+        ],
+        interpret=interpret,
+    )(x_tiles, off_t, w_t, b)
+
+    out = out[:, :, 0, :, :_BW]
     out = (
         out.reshape(n, gy, gx, bh, c_out, _BW)
         .transpose(0, 1, 3, 2, 5, 4)

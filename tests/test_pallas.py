@@ -46,3 +46,62 @@ def test_pallas_method_is_differentiable(case):
     gw_ref, go_ref = jax.grad(loss_shifts, argnums=(0, 1))(weight, offsets)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(go), np.asarray(go_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_zproj_xla_matches_shifts(case):
+    x, offsets, weight, bias = case
+    via_shifts = deform_conv2d(x, offsets, weight, bias, method="shifts", clamp=2)
+    via_zproj = deform_conv2d(x, offsets, weight, bias, method="zproj", clamp=2)
+    np.testing.assert_allclose(
+        np.asarray(via_zproj), np.asarray(via_shifts), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_zform_kernel_matches_shifts(case):
+    from deepbedmap_tpu.ops.pallas_kernels import deform_conv2d_pallas_zform
+
+    x, offsets, weight, bias = case
+    via_shifts = deform_conv2d(x, offsets, weight, bias, method="shifts", clamp=2)
+    got = deform_conv2d_pallas_zform(
+        x, offsets, weight, bias, clamp=2, block_rows=8, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(via_shifts), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_zproj1_kernel_matches_shifts(rng):
+    from deepbedmap_tpu.ops.pallas_kernels import deform_conv2d_pallas_zproj1
+
+    n, h, w, c_in = 2, 17, 130, 8
+    x = jnp.asarray(rng.randn(n, h, w, c_in).astype(np.float32))
+    offsets = jnp.asarray((rng.rand(n, h, w, 18) * 6.0 - 3.0).astype(np.float32))
+    weight = jnp.asarray(rng.randn(3, 3, c_in, 1).astype(np.float32))
+    bias = jnp.asarray(rng.randn(1).astype(np.float32))
+    via_shifts = deform_conv2d(x, offsets, weight, bias, method="shifts", clamp=2)
+    got = deform_conv2d_pallas_zproj1(
+        x, offsets, weight, bias, clamp=2, block_rows=8, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(via_shifts), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pallas_cout1_dispatch_is_differentiable(rng):
+    # the generator's final layer shape: pallas method must route to the
+    # zproj1 kernel and stay differentiable through the custom VJP
+    n, h, w, c_in = 1, 9, 13, 8
+    x = jnp.asarray(rng.randn(n, h, w, c_in).astype(np.float32))
+    offsets = jnp.asarray((rng.rand(n, h, w, 18) * 4.0 - 2.0).astype(np.float32))
+    weight = jnp.asarray(rng.randn(3, 3, c_in, 1).astype(np.float32))
+    bias = jnp.asarray(rng.randn(1).astype(np.float32))
+
+    def loss(method):
+        def f(w, o):
+            return jnp.sum(deform_conv2d(x, o, w, bias, method=method, clamp=2) ** 2)
+        return jax.grad(f, argnums=(0, 1))(weight, offsets)
+
+    gw, go = loss("pallas")
+    gw_ref, go_ref = loss("shifts")
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(go), np.asarray(go_ref), rtol=2e-4, atol=2e-4)
