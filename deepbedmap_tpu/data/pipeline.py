@@ -19,9 +19,33 @@ import pandas as pd
 
 from deepbedmap_tpu.data.proj import lonlat_to_xy
 
+# The 11 reference surveys ship as packaged pipeline configs
+# (deepbedmap_tpu/data/surveys/*.json, mirroring /root/reference/highres/*.json
+# which data_prep.py:340-345 iterates over).
+SURVEYS_DIR = os.path.join(os.path.dirname(__file__), "surveys")
 
-def ascii_to_xyz(pipeline_file: str) -> pd.DataFrame:
-    """Run a pipeline JSON; returns a DataFrame with columns x, y, z."""
+
+def list_survey_configs() -> list[str]:
+    """Paths of the packaged per-survey pipeline configs, sorted by name."""
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(SURVEYS_DIR, "*.json")))
+
+
+def survey_config_path(name: str) -> str:
+    """Path of one packaged survey config, e.g. ``'2010tr'``."""
+    path = os.path.join(SURVEYS_DIR, name + ".json")
+    assert os.path.exists(path), f"unknown survey {name!r}; see list_survey_configs()"
+    return path
+
+
+def ascii_to_xyz(pipeline_file: str, data_dir: str | None = None) -> pd.DataFrame:
+    """Run a pipeline JSON; returns a DataFrame with columns x, y, z.
+
+    ``data_dir`` overrides where the reader's ``filename`` glob is anchored
+    (defaults to the config's own directory, matching the reference layout
+    where configs sit next to the survey files).
+    """
     assert os.path.exists(pipeline_file), pipeline_file
     assert pipeline_file.endswith(".json")
 
@@ -36,7 +60,8 @@ def ascii_to_xyz(pipeline_file: str) -> pd.DataFrame:
     usecols = reader["usecols"].split(sep)
     na_values = reader.get("na_values")
 
-    pattern = os.path.join(os.path.dirname(pipeline_file), reader["filename"])
+    base = data_dir if data_dir is not None else os.path.dirname(pipeline_file)
+    pattern = os.path.join(base, reader["filename"])
     files = sorted(glob.glob(pattern))
     assert files, f"no files match {pattern}"
 

@@ -47,9 +47,10 @@ keep = filter_within_polygon(bounds, poly, buffer=10_000)
 log(f"{len(keep)} windows inside buffered polygon")
 bounds = [bounds[i] for i in keep][:256]
 
-# ---- 3. build training tiles via selective_tile (reference array contract) --
+# ---- 3. build training tiles via the packaged builder (reference
+# data_prep.py:745-930 array contract) -----------------------------------
 from deepbedmap_tpu.data.raster import Raster
-from deepbedmap_tpu.data.tiler import selective_tile
+from deepbedmap_tpu.data.builder import build_training_arrays
 lh = raster  # highres Y source
 # conditioning rasters: lowres bed (1000m), surface (100m), velocity (500m), accum (1000m)
 gx0, gx1, gy0, gy1 = region
@@ -60,24 +61,31 @@ cy = gy1 - (yy + 0.5) * 250.0
 truth250 = bed(cx, cy).astype(np.float32)
 def down(a, f):
     return a[:a.shape[0]//f*f, :a.shape[1]//f*f].reshape(a.shape[0]//f, f, -1, f).mean((1,3))
+def up(a, f):
+    return np.kron(a, np.ones((f, f), np.float32))
 bed1000 = Raster(down(truth250, 4).astype(np.float32), left=gx0, top=gy1, res=1000.0)
-surf100 = Raster(np.kron(truth250 + 2000.0, np.ones((1,1),np.float32))
-                 .astype(np.float32), left=gx0, top=gy1, res=250.0)  # fake 'surface' at 250m
+# synthetic 100 m 'surface': 5x-upsampled 500m field, cropped to the region
+surf100 = Raster(up(down(truth250, 2) + 2000.0, 5)[: int(H * 2.5), : int(W * 2.5)]
+                 .astype(np.float32), left=gx0, top=gy1, res=100.0)
+vel500 = Raster(down(truth250, 2).astype(np.float32) * 0.1,
+                left=gx0, top=gy1, res=500.0)
 accum1000 = Raster(down(truth250*0.01 + 100.0, 4).astype(np.float32), left=gx0, top=gy1, res=1000.0)
 
-Y  = selective_tile(lh, bounds)                                  # (N,1,36,36)
-X  = selective_tile(bed1000, bounds, padding=1000, gapfiller=-5000.0)
-W1 = selective_tile(surf100, bounds, padding=1000, resolution=100, gapfiller=0.0)
-VX = selective_tile(bed1000, bounds, padding=1000, resolution=500, gapfiller=0.0)
-W2 = np.concatenate([VX, VX], axis=1)
-W3 = selective_tile(accum1000, bounds, padding=1000, gapfiller=0.0)
-log(f"tiles: Y{Y.shape} X{X.shape} W1{W1.shape} W2{W2.shape} W3{W3.shape}")
-assert X.shape[2:] == (11, 11) and W1.shape[2:] == (110, 110) and W2.shape[2:] == (22, 22)
-
-# drop any NaN Y tiles
-ok = ~np.isnan(Y).any(axis=(1,2,3))
-arrays = {"X": X[ok], "W1": W1[ok], "W2": W2[ok], "W3": W3[ok], "Y": Y[ok]}
-log(f"{ok.sum()} clean training tiles")
+dataset = build_training_arrays(
+    highres={"synthetic_survey": lh},
+    window_bounds={"synthetic_survey": bounds},
+    lowres=bed1000,
+    surface=surf100,
+    velocity=(vel500, vel500),
+    accumulation=accum1000,
+    out_dir=os.path.join(workdir, "train_arrays"),
+)
+n = len(dataset)
+batch0 = dataset.take(np.arange(min(n, 4)))
+shapes = {k: tuple(v.shape) for k, v in batch0.items()}
+log(f"builder tiles (NHWC): {shapes}; {n} clean training tiles")
+assert shapes["X"][1:] == (11, 11, 1) and shapes["W2"][1:] == (22, 22, 2)
+assert shapes["W1"][1:] == (110, 110, 1) and shapes["Y"][1:] == (36, 36, 1)
 
 # ---- 4. train a small GAN for 2 epochs ----
 from deepbedmap_tpu.config import GeneratorConfig, TrainConfig
@@ -86,7 +94,6 @@ from deepbedmap_tpu.models import Generator, Discriminator, build_generator
 from deepbedmap_tpu.train import create_gan_state, fit
 g_cfg = GeneratorConfig(num_residual_blocks=1)
 t_cfg = TrainConfig(batch_size=16, learning_rate=3e-4, epochs=2)
-dataset = TileDataset.from_nchw(arrays)
 g_model, d_model = Generator(g_cfg), Discriminator()
 state = create_gan_state(g_cfg, t_cfg=t_cfg)
 state, history = fit(state, dataset, g_model, d_model, t_cfg=t_cfg)

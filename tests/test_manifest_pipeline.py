@@ -157,3 +157,89 @@ def test_dataset_hash_pinning(tmp_path):
 
     with pytest.raises(ValueError):
         TileDataset.load_npy_dir(str(tmp_path / "train"), expected_hash="0" * 64)
+
+
+def test_bundled_survey_configs():
+    """All 11 reference survey configs ship with the package and parse
+    (reference iterates highres/*.json at data_prep.py:340-345)."""
+    from deepbedmap_tpu.data.pipeline import (
+        list_survey_configs,
+        survey_config_path,
+    )
+
+    configs = list_survey_configs()
+    assert len(configs) == 11
+    names = {os.path.splitext(os.path.basename(p))[0] for p in configs}
+    assert {
+        "2007tx", "2010tr", "istarxx", "201x_Antarctica_Basler",
+        "20xx_Antarctica_DC8", "20xx_Antarctica_DC8_THW",
+        "20xx_Antarctica_TO", "Data_20141121_05",
+        "WISE_ISODYN_RadarByFlight", "bed_WGS84_grid",
+        "bed_depth_below_WGS84_datum",
+    } == names
+    for p in configs:
+        doc = json.load(open(p))
+        stages = {s["type"] for s in doc["pipeline"]}
+        assert "readers.text" in stages
+    assert survey_config_path("2010tr").endswith("2010tr.json")
+
+
+def test_survey_configs_run_on_synthetic_miniatures(tmp_path):
+    """One synthetic miniature per survey config format: every packaged
+    config must drive ascii_to_xyz end-to-end via data_dir."""
+    from deepbedmap_tpu.data.pipeline import list_survey_configs
+
+    # data files matching every config's glob, one format each
+    def write(name, text):
+        (tmp_path / name).write_text(text)
+
+    # NB: the reader passes header=skip to pandas (reference parity,
+    # data_prep.py:298-303) which consumes one extra leading data row when
+    # column names are supplied — miniatures carry a sacrificial first row.
+    tab8 = "x\ty\tz_surf\ttime\th\th_fc\tz\tz_fc\n"
+    write("2007ta.txt", tab8 + "0\t0\t0\t0\t0\t0\t0\t0\n"
+          "100.0\t-200.0\t1\t2\t3\t4\t5\t-321.5\n")
+    write("2010tr.txt", "x\ty\tz_surf\ttime\th\th_fc\tz_bed\tz_bed_fc\tz-surf\n"
+          "0\t0\t0\t0\t0\t0\t0\t0\t0\n"
+          "10.0\t-20.0\t1\t2\t3\t4\t5\t-30.25\t6\n")
+    write("istar01.txt", "x\ty\tz_surf\ttime\th\th_fc\tz_bed\tz_bed_fc\n"
+          "0\t0\t0\t0\t0\t0\t0\t0\n"
+          "1.0\t2.0\t1\t2\t3\t4\t5\t-3.5\n")
+    cresis_hdr = "Y,X,TIME,THICK,ELEVATION,FRAME,SURFACE,BOTTOM,QUALITY\n"
+    cresis_row = ("-77.0,167.0,0,100,1000.0,1,10,900.0,1\n"
+                  "-77.5,167.2,0,100,1200.0,1,10,900.0,1\n")
+    for f in ("2011_Antarctica_Basler.csv", "2011_Antarctica_DC8.csv",
+              "2011_Antarctica_TO_wing.csv", "Data_20141121_05.csv"):
+        write(f, cresis_hdr + cresis_row)
+    write("bed_WGS84_grid.txt", "junk\n" * 19 +
+          "x\ty\tz\tcolumn\trow\n0\t0\t0\t0\t0\n5.0\t6.0\t-7.0\t1\t2\n")
+    write("bed_depth_below_WGS84_datum.csv", "x,y,z\n0,0,0\n1.0,2.0,-3.0\n")
+    # WISE: whitespace-separated with 11 header rows and '*' as NaN, zipped
+    import zipfile
+
+    wise_cols = ("FlightID Line_name X Y x y Height_WGS1984 Date Time "
+                 "Segy_name traceNum PriNum surfPickLoc bedPickLoc Z "
+                 "Bedrock_and_BEDMAP2 Mask picked_bedElev surfElev tIce")
+    wise_body = "\n".join(["header junk"] * 10 + [wise_cols] + [
+        "f0 l0 159.0 -77.0 1 2 3 4 5 s 6 7 8 9 -400.0 10 11 12 13 14",
+        "f1 l1 160.0 -78.0 1 2 3 4 5 s 6 7 8 9 -500.0 10 11 12 13 14",
+        "f1 l1 161.0 -78.5 1 2 3 4 5 s 6 7 8 9 * 10 11 12 13 14",  # NaN row
+    ]) + "\n"
+    with zipfile.ZipFile(tmp_path / "WISE_ISODYN_RadarByFlight_ASCII.zip", "w") as z:
+        z.writestr("wise.txt", wise_body)
+
+    for cfg in list_survey_configs():
+        df = ascii_to_xyz(cfg, data_dir=str(tmp_path))
+        assert list(df.columns) == ["x", "y", "z"]
+        assert len(df) >= 1, cfg
+        assert df.notna().all().all(), cfg
+
+    # spot-check the CReSIS converter math (Z = ELEVATION - BOTTOM) and
+    # reprojection to EPSG:3031 metres
+    df = ascii_to_xyz(
+        os.path.join(os.path.dirname(list_survey_configs()[0]),
+                     "20xx_Antarctica_DC8.json"),
+        data_dir=str(tmp_path),
+    )
+    assert abs(float(df["z"].iloc[0]) - 300.0) < 1e-6  # 1200 - 900
+    assert 1e5 < abs(float(df["x"].iloc[0])) < 5e6  # projected metres
