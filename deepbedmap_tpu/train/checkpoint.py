@@ -14,11 +14,14 @@ including the layout changes:
 - 12 repeated RRDB blocks -> the scan's stacked leading axis;
 - linear W (out, in) -> (in, out).
 
-Offset-channel order: Chainer's deformable-conv offset field interleaves
-y/x halves; ours is [y-halves, x-halves] row-major over taps
-(ops.deform_conv docstring). ``offset_order`` selects the permutation applied
-to offset-conv output channels ('yx' = already ours, 'xy' = swap halves);
-validate against released weights when numerical parity matters.
+Offset-channel order: Chainer's deformable-conv sampler documents its offset
+input as horizontal (x) offsets in the FIRST kh*kw channels and vertical (y)
+in the second half; ours is [y-halves, x-halves] row-major over taps
+(ops.deform_conv docstring). ``offset_order='xy'`` (the default) therefore
+swaps the halves on import; tests/test_chainer_semantics.py locks this
+against a from-scratch NumPy sampler implementing the documented Chainer
+semantics (and shows 'yx' would not match). If a real released-weights
+forward ever disagrees, flip to 'yx' — the flag exists for exactly that.
 """
 
 from __future__ import annotations
