@@ -31,7 +31,7 @@ def make_fixed_evaluator(
     import jax
     import jax.numpy as jnp
 
-    from deepbedmap_tpu.ops.interp import sample_grid_bilinear
+    from deepbedmap_tpu.ops.interp import sample_grid_bicubic
     from deepbedmap_tpu.ops.metrics import rmse
 
     x = jnp.asarray(np.asarray(inputs_nchw["X"]).transpose(0, 2, 3, 1))
@@ -47,7 +47,9 @@ def make_fixed_evaluator(
     @jax.jit
     def evaluate(g_params):
         pred = g_model.apply({"params": g_params}, x, w1, w2, w3)[0, :, :, 0]
-        sampled = sample_grid_bilinear(
+        # bicubic: GMT grdtrack's default, what the reference's per-epoch RMSE
+        # uses (srgan_train.py:1460-1464)
+        sampled = sample_grid_bicubic(
             pred, tx, ty, xmin, ymax, resolution
         )
         return rmse(sampled, tz)

@@ -11,9 +11,14 @@ ships its own engine with the same API surface the objective needs:
     #                   trial.should_prune -> raise TrialPruned
 
 Sampling is TPE-lite (independent per-parameter Parzen estimators, good/bad
-split like Optuna's default univariate TPE) after a random startup phase;
-pruning is successive-halving rungs (Hyperband's inner loop) against the
-running quantile of completed trials at the same step.
+split like Optuna's default univariate TPE) after a random startup phase.
+Pruning implements the published ASHA rule exactly — SuccessiveHalvingPruner
+('halving') and HyperbandPruner ('hyperband': crc32 bracket assignment,
+budgets ceil(n_brackets/(s+1)), per-bracket early-stopping rates), matching
+the reference's HyperbandPruner(min_resource=15, max_resource=150,
+reduction_factor=3) (srgan_train.py:1740-1744); decisions are pinned against
+hand-computed oracles in tests/test_hpo_pruner.py. A MedianPruner ('median')
+is also provided.
 """
 
 from deepbedmap_tpu.hpo.engine import (  # noqa: F401

@@ -46,6 +46,7 @@ class Trial:
         self.params: Dict[str, float] = {}
         self.intermediate: Dict[int, float] = {}
         self._fixed = fixed or {}
+        self._passed_rungs = 0  # ASHA promotions already granted (permanent)
 
     # ---- suggest API ----
     def _suggest(self, name, low, high, step=None, log=False, is_int=False):
@@ -106,9 +107,12 @@ class Study:
         study_name: str = "default",
         sampler_seed: Optional[int] = None,
         n_startup_trials: int = 10,
-        pruner: str = "halving",  # 'halving' | 'median' | 'none'
+        pruner: str = "halving",  # 'halving' | 'hyperband' | 'median' | 'none'
         min_resource: int = 15,
+        max_resource: Optional[int] = 150,  # reference srgan_train.py:1742
         reduction_factor: int = 3,
+        min_early_stopping_rate: int = 0,
+        pruner_n_startup_trials: int = 5,  # Optuna MedianPruner default
     ):
         assert direction in ("minimize", "maximize")
         self.direction = direction
@@ -116,7 +120,10 @@ class Study:
         self.n_startup_trials = n_startup_trials
         self.pruner = pruner
         self.min_resource = min_resource
+        self.max_resource = max_resource
         self.reduction_factor = reduction_factor
+        self.min_early_stopping_rate = min_early_stopping_rate
+        self.pruner_n_startup_trials = pruner_n_startup_trials
         self._rng = random.Random(sampler_seed)
         self.trials: List[FrozenTrial] = []
         self._db: Optional[sqlite3.Connection] = None
@@ -226,52 +233,127 @@ class Study:
         return math.exp(best_x) if log else best_x
 
     # ---- pruning ----
+    #
+    # 'halving' implements Optuna's SuccessiveHalvingPruner (the ASHA
+    # promotion rule, Li et al. 2018) and 'hyperband' Optuna's HyperbandPruner
+    # — the reference's pruner: HyperbandPruner(min_resource=15,
+    # max_resource=150, reduction_factor=3) (srgan_train.py:1740-1744).
+    # Semantics validated against hand-computed oracles in
+    # tests/test_hpo_pruner.py.
+
+    def _n_brackets(self) -> int:
+        """Hyperband bracket count: floor(log_eta(max/min)) + 1."""
+        if self.max_resource is None:
+            return 1
+        return (
+            int(
+                math.log(self.max_resource / self.min_resource)
+                / math.log(self.reduction_factor)
+            )
+            + 1
+        )
+
+    def _bracket_id(self, trial_number: int) -> int:
+        """Deterministic bracket assignment, Optuna's scheme: crc32 of
+        '<study>_<number>' modulo the total allocation budget, where bracket
+        s gets budget ceil(n_brackets / (s + 1)) — aggressive brackets
+        (small early-stopping rate) get proportionally more trials."""
+        import zlib
+
+        n = self._n_brackets()
+        if n <= 1:
+            return 0
+        budgets = [math.ceil(n / (s + 1)) for s in range(n)]
+        h = zlib.crc32(f"{self.study_name}_{trial_number}".encode()) % sum(budgets)
+        for bracket, budget in enumerate(budgets):
+            h -= budget
+            if h < 0:
+                return bracket
+        return n - 1
+
+    @staticmethod
+    def _rung_value(
+        intermediate: Dict[int, float], promotion_step: float
+    ) -> Optional[float]:
+        """A trial's value at a rung: the value it reported when it first
+        crossed ``promotion_step`` (Optuna stores this in trial system attrs
+        at crossing time; with should_prune called after every report, the
+        first report at step >= promotion_step reconstructs it exactly)."""
+        steps = [s for s in intermediate if s >= promotion_step]
+        if not steps:
+            return None
+        return intermediate[min(steps)]
+
     def _should_prune(self, trial: Trial) -> bool:
         if self.pruner == "none" or not trial.intermediate:
             return False
         step = max(trial.intermediate)
         value = trial.intermediate[step]
-        if self.pruner == "halving":
-            # successive-halving rungs at min_resource * factor^k
-            rung = None
-            resource = self.min_resource
-            while resource <= step:
-                rung = resource
-                resource *= self.reduction_factor
-            if rung is None:
+        if self.pruner in ("halving", "hyperband"):
+            early_stopping_rate = (
+                self._bracket_id(trial.number)
+                if self.pruner == "hyperband"
+                else self.min_early_stopping_rate
+            )
+            return self._asha_prune(trial, step, value, early_stopping_rate)
+        return self._median_prune(trial, step)
+
+    def _asha_prune(
+        self, trial: Trial, step: int, value: float, early_stopping_rate: int
+    ) -> bool:
+        """Successive-halving: walk the rungs the trial has crossed; at each
+        rung keep only trials in the top 1/eta of that rung's recorded values
+        (ties promote). Rung k completes at min_resource * eta^(rate + k).
+        Rungs already passed are never re-checked (ASHA promotions are
+        permanent), tracked per live trial in ``trial._passed_rungs``."""
+        eta = self.reduction_factor
+        sign = 1.0 if self.direction == "minimize" else -1.0
+        rung = trial._passed_rungs
+        while True:
+            promotion_step = self.min_resource * eta ** (early_stopping_rate + rung)
+            if step < promotion_step:
                 return False
-            peers = [
-                min(t.intermediate[s] for s in t.intermediate if s <= rung)
-                if self.direction == "minimize"
-                else max(t.intermediate[s] for s in t.intermediate if s <= rung)
+            if math.isnan(value):
+                return True
+            own = self._rung_value(trial.intermediate, promotion_step)
+            competing = sorted(
+                sign * rv
                 for t in self.trials
-                if t.intermediate and max(t.intermediate) >= rung
-            ]
-            if len(peers) < self.reduction_factor:
-                return False
-            peers_sorted = sorted(peers, reverse=(self.direction == "maximize"))
-            keep = max(1, len(peers_sorted) // self.reduction_factor)
-            threshold = peers_sorted[keep - 1]
-            best_so_far = (
-                min(trial.intermediate.values())
-                if self.direction == "minimize"
-                else max(trial.intermediate.values())
+                if t.number != trial.number
+                for rv in (self._rung_value(t.intermediate, promotion_step),)
+                if rv is not None and not math.isnan(rv)
             )
-            return (
-                best_so_far > threshold
-                if self.direction == "minimize"
-                else best_so_far < threshold
-            )
-        # median pruner
-        peers = [
-            t.intermediate.get(step)
-            for t in self.trials
-            if t.intermediate.get(step) is not None
-        ]
-        if len(peers) < 3:
+            competing.append(sign * own)
+            competing.sort()
+            # top-1/eta cutoff; with fewer than eta values only the best
+            # promotes (Optuna's promotable_idx = max(len//eta - 1, 0))
+            promotable_idx = max(len(competing) // eta - 1, 0)
+            if sign * own > competing[promotable_idx]:
+                return True
+            rung += 1
+            trial._passed_rungs = rung
+
+    def _median_prune(self, trial: Trial, step: int) -> bool:
+        """Optuna MedianPruner: after ``pruner_n_startup_trials`` completed
+        trials, prune if the trial's best intermediate so far is strictly
+        worse than the median of completed trials' values at the same step."""
+        completed = [t for t in self.trials if t.state == TrialState.COMPLETE]
+        if len(completed) < self.pruner_n_startup_trials:
             return False
-        median = sorted(peers)[len(peers) // 2]
-        return value > median if self.direction == "minimize" else value < median
+        peers = [t.intermediate[step] for t in completed if step in t.intermediate]
+        if not peers:
+            return False
+        peers.sort()
+        n = len(peers)
+        median = (
+            peers[n // 2] if n % 2 else 0.5 * (peers[n // 2 - 1] + peers[n // 2])
+        )
+        best = (
+            min(trial.intermediate.values())
+            if self.direction == "minimize"
+            else max(trial.intermediate.values())
+        )
+        return best > median if self.direction == "minimize" else best < median
 
     # ---- driving ----
     def ask(self, fixed: Optional[Dict] = None) -> Trial:

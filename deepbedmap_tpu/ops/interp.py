@@ -62,6 +62,61 @@ def sample_grid_bilinear(
     return jnp.where(inside, out, fill_value)
 
 
+def _keys_weights(t: jax.Array, a: float = -0.5):
+    """Cubic-convolution weights (Keys 1981, a=-0.5 — GMT's default bicubic
+    grid interpolant, used by grdtrack unless -n overrides) for the 4 taps at
+    integer offsets {-1, 0, 1, 2} around a sample with fractional part ``t``."""
+    def k(s):
+        s = jnp.abs(s)
+        inner = (a + 2.0) * s**3 - (a + 3.0) * s**2 + 1.0
+        outer = a * s**3 - 5.0 * a * s**2 + 8.0 * a * s - 4.0 * a
+        return jnp.where(s <= 1.0, inner, jnp.where(s < 2.0, outer, 0.0))
+
+    return [k(t + 1.0), k(t), k(t - 1.0), k(t - 2.0)]
+
+
+def sample_grid_bicubic(
+    data: jax.Array,  # (H, W)
+    xs: jax.Array,
+    ys: jax.Array,
+    x0: float,
+    y1: float,
+    res: float,
+    fill_value: float = jnp.nan,
+) -> jax.Array:
+    """Bicubic (Keys cubic-convolution, a=-0.5) sampling — GMT grdtrack's
+    default interpolant (the reference samples DEMs at survey points with GMT
+    defaults, deepbedmap.py:530-544). Edge rows/columns are replicated for the
+    outer taps (GMT's natural boundary fill); samples outside the cell-center
+    hull return ``fill_value``, same rule as the bilinear sampler. Exactly
+    reproduces polynomials up to degree 2 and interpolates node values."""
+    h, w = data.shape
+    fj = (xs - x0) / res - 0.5
+    fi = (y1 - ys) / res - 0.5
+
+    i0 = jnp.floor(fi)
+    j0 = jnp.floor(fj)
+    di = fi - i0
+    dj = fj - j0
+    i0 = i0.astype(jnp.int32)
+    j0 = j0.astype(jnp.int32)
+
+    wi = _keys_weights(di)
+    wj = _keys_weights(dj)
+
+    out = jnp.zeros_like(fi, dtype=data.dtype)
+    for oi in range(4):
+        row = jnp.zeros_like(out)
+        ii = jnp.clip(i0 + (oi - 1), 0, h - 1)
+        for oj in range(4):
+            jj = jnp.clip(j0 + (oj - 1), 0, w - 1)
+            row = row + wj[oj] * data[ii, jj]
+        out = out + wi[oi] * row
+
+    inside = (fi >= 0.0) & (fi <= h - 1) & (fj >= 0.0) & (fj <= w - 1)
+    return jnp.where(inside, out, fill_value)
+
+
 def sample_grid_nearest(
     data: jax.Array,
     xs: jax.Array,

@@ -13,3 +13,14 @@ from deepbedmap_tpu.viz.figures import (  # noqa: F401
     plot_transect,
     plot_error_histogram,
 )
+from deepbedmap_tpu.viz.paper import (  # noqa: F401
+    REGION_PINE_ISLAND,
+    REGION_THWAITES,
+    closeup_fig,
+    fig_3d_comparison,
+    fig_architecture,
+    fig_dem_overview,
+    fig_roughness_grids,
+    fig_transect,
+    plot_3d_view,
+)

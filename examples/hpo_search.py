@@ -30,6 +30,11 @@ def main():
         direction="minimize",
         storage="sqlite:///model/logs/hpo_example.db",
         sampler_seed=42,
+        # the reference's pruner config (srgan_train.py:1740-1744)
+        pruner="hyperband",
+        min_resource=15,
+        max_resource=150,
+        reduction_factor=3,
     )
     study.optimize(
         lambda t: objective(t, dataset, suggest=tiny_space), n_trials=3

@@ -37,6 +37,7 @@ def test_objective_runs_and_checkpoints(tmp_path):
     assert (tmp_path / "trial_0").exists()
 
 
+@pytest.mark.slow
 def test_study_over_objective():
     dataset = TileDataset.synthetic(8, seed=0)
     study = create_study(direction="minimize", sampler_seed=0, pruner="none")

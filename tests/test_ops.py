@@ -184,3 +184,51 @@ def test_deform_conv_is_differentiable(rng):
     assert np.isfinite(np.asarray(gw)).all()
     assert np.isfinite(np.asarray(goff)).all()
     assert float(jnp.abs(goff).sum()) > 0.0  # offsets receive gradient
+
+
+def test_bicubic_sampler_interpolates_nodes_and_quadratics(rng):
+    """Keys a=-0.5 cubic convolution (GMT grdtrack's default): must return
+    node values exactly at cell centers and reproduce quadratic surfaces
+    exactly in the interior (the kernel's polynomial-precision guarantee)."""
+    from deepbedmap_tpu.ops.interp import sample_grid_bicubic, window_coords
+
+    x0, y1, res = 100.0, 500.0, 10.0
+    h, w = 12, 14
+    xs, ys = window_coords((x0, y1 - h * res, x0 + w * res, y1), res)
+    xg, yg = jnp.meshgrid(xs, ys)
+
+    def quad(x, y):
+        return 0.3 * x * x / 1e4 + 0.1 * x * y / 1e4 - 0.2 * y * y / 1e4 + 3.0
+
+    data = quad(xg, yg)
+
+    # exact at nodes
+    got = sample_grid_bicubic(data, xg.ravel(), yg.ravel(), x0, y1, res)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(data.ravel()), rtol=1e-5, atol=1e-5
+    )
+
+    # exact on quadratics at interior off-node points (2 cells from each edge
+    # so the 4x4 stencil never clamps)
+    px = jnp.asarray(rng.uniform(x0 + 2.5 * res, x0 + (w - 2.5) * res, 200), jnp.float32)
+    py = jnp.asarray(rng.uniform(y1 - (h - 2.5) * res, y1 - 2.5 * res, 200), jnp.float32)
+    got = sample_grid_bicubic(data, px, py, x0, y1, res)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(quad(px, py)), rtol=1e-4, atol=1e-5
+    )
+
+    # NaN outside the cell-center hull, same rule as bilinear
+    out = sample_grid_bicubic(data, jnp.asarray([x0 - 5.0]), jnp.asarray([y1 - 50.0]), x0, y1, res)
+    assert np.isnan(np.asarray(out)).all()
+
+
+def test_grdtrack_bicubic_differs_from_bilinear_off_node(rng):
+    from deepbedmap_tpu.evalx.track import grdtrack
+
+    data = jnp.asarray(rng.randn(16, 16), jnp.float32)
+    px = jnp.asarray([5.0 * 3.7], jnp.float32)
+    py = jnp.asarray([-5.0 * 4.3], jnp.float32)
+    bc = grdtrack(data, px, py, 0.0, 0.0, 5.0, method="bicubic")
+    bl = grdtrack(data, px, py, 0.0, 0.0, 5.0, method="bilinear")
+    assert np.isfinite(np.asarray(bc)).all()
+    assert abs(float(bc[0]) - float(bl[0])) > 1e-6

@@ -17,6 +17,7 @@ TINY_G = GeneratorConfig(num_residual_blocks=1)
 T_CFG = TrainConfig(batch_size=8, learning_rate=1e-3)
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     g_model = Generator(TINY_G)
     d_model = Discriminator(DiscriminatorConfig())

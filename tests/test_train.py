@@ -39,6 +39,7 @@ def _leaf_diff(a, b):
     )
 
 
+@pytest.mark.slow
 def test_train_step_updates_both_models(setup):
     g_model, d_model, state, dataset = setup
     step = jax.jit(make_train_step(g_model, d_model, TINY_T))
@@ -62,6 +63,7 @@ def test_eval_step_is_pure(setup):
     assert float(m1.generator_loss) == float(m2.generator_loss)
 
 
+@pytest.mark.slow
 def test_nondifferentiable_adversarial_parity(setup):
     """Reference parity: with the default (detached) adversarial term, the
     generator gradient must be identical whether the adversarial weight is
@@ -82,6 +84,7 @@ def test_nondifferentiable_adversarial_parity(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_differentiable_adversarial_changes_gradient(setup):
     from deepbedmap_tpu.train.steps import make_g_loss_fn
 
@@ -110,6 +113,7 @@ def test_differentiable_adversarial_changes_gradient(setup):
     )
 
 
+@pytest.mark.slow
 def test_epoch_scan_and_fit(setup):
     g_model, d_model, state, dataset = setup
     t_cfg = TrainConfig(batch_size=2, learning_rate=1e-4, train_fraction=0.75)
@@ -125,6 +129,7 @@ def test_epoch_scan_and_fit(setup):
     assert "val_generator_psnr" in history[0]
 
 
+@pytest.mark.slow
 def test_fit_callback_stops(setup):
     g_model, d_model, _, dataset = setup
     t_cfg = TrainConfig(batch_size=2, train_fraction=0.75)
@@ -149,6 +154,7 @@ def test_split_is_reference_shaped():
     assert batches.shape == (28, 128)
 
 
+@pytest.mark.slow
 def test_remat_generator_trains(setup):
     """jax.checkpoint'd trunk: gradients flow, params match non-remat to fp32
     tolerance after one step."""
