@@ -195,18 +195,32 @@ def deform_conv2d_pallas(
     )
     off_t = jnp.pad(off_t, ((0, 0), (0, 0), (0, 0), (0, 0), (0, 2 * _LANE_HALO)))
 
-    w_t = jnp.transpose(weight.reshape(k, c_in, c_out), (0, 2, 1))  # (K, C_out, C)
+    if kernel_body == "auto":
+        kernel_body = "rolls" if clamp <= 1 else "stacked"
+    if kernel_body == "stacked":
+        # tap-stacked contraction matrix: column block t holds weight[u,v,:,:]
+        w_t = jnp.transpose(weight.reshape(k, c_in, c_out), (2, 0, 1)).reshape(
+            c_out, k * c_in
+        )
+        w_spec = pl.BlockSpec(
+            (c_out, k * c_in), lambda t: (0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        w_t = jnp.transpose(weight.reshape(k, c_in, c_out), (0, 2, 1))  # (K, C_out, C)
+        w_spec = pl.BlockSpec(
+            (k, c_out, c_in), lambda t: (0, 0, 0), memory_space=pltpu.VMEM
+        )
     b = (
         jnp.zeros((1, c_out, 1), x.dtype)
         if bias is None
         else bias.reshape(1, c_out, 1)
     )
 
-    if kernel_body == "auto":
-        kernel_body = "rolls" if clamp <= 1 else "banded"
-    body = {"banded": _deform_rows_kernel, "rolls": _deform_rolls_kernel}[
-        kernel_body
-    ]
+    body = {
+        "banded": _deform_rows_kernel,
+        "rolls": _deform_rolls_kernel,
+        "stacked": _deform_stacked_kernel,
+    }[kernel_body]
     extra = {"mxu_bf16": mxu_bf16} if kernel_body == "banded" else {}
     kernel = functools.partial(
         body,
@@ -233,9 +247,7 @@ def deform_conv2d_pallas(
                 lambda t: (t, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (k, c_out, c_in), lambda t: (0, 0, 0), memory_space=pltpu.VMEM
-            ),
+            w_spec,
             pl.BlockSpec(
                 (1, c_out, 1), lambda t: (0, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -259,6 +271,98 @@ def deform_conv2d_pallas(
         .reshape(n, hp, wp, c_out)
     )
     return out[:, :h, :w, :]
+
+
+def _deform_stacked_kernel(
+    x_ref,  # (1, bh + 2*rh, 1, C, 128) VMEM — halo'd row slabs
+    off_ref,  # (1, bh, 2K, 1, 128) VMEM
+    w_ref,  # (C_out, K*C) VMEM — tap-stacked contraction matrix
+    b_ref,  # (1, C_out, 1) VMEM
+    out_ref,  # (1, bh, 1, C_out, 128) VMEM
+    *,
+    bh: int,
+    row_halo: int,
+    padding: int,
+    clamp: int,
+    kh: int,
+    kw: int,
+):
+    """Banded-matmul body v3: identical decomposition to
+    ``_deform_rows_kernel`` with the MXU work batched into large matmuls.
+
+    Per output row the v1 body issues 54 thin (C,128)x(128,128) dots (9 taps x
+    6 sy) plus 9 (C_out,C)x(C,128) tap contractions; at 1144^2 x 64ch the
+    kernel is instruction-issue-bound at ~12% MXU. Here the 6 sy-slabs of a
+    tap are stacked into ONE (6*C,128)@(128,128) dot (the full 8-row halo
+    window is loaded once per row and re-sliced per tap group), the wy
+    bilinear row weights are applied to the stacked product, and all 9 tap
+    outputs are concatenated for a single (C_out,K*C)@(K*C,128) contraction —
+    6x fewer MXU instructions at equal FLOPs. The static band masks
+    (band == sx per tap column v) are hoisted out of the row loop.
+    """
+    k = kh * kw
+    c_in = x_ref.shape[3]
+    c_out = out_ref.shape[3]
+    span = 2 * clamp + 2  # sy/sx shift count
+
+    l_idx = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_LANES,), 0)
+    valid = (lane < _BW).astype(jnp.float32)
+
+    # static (band == sx) masks per tap-column v: band = l - j - base(v)
+    band_masks = {}
+    for v in range(kw):
+        base = _LANE_HALO + (v - padding)
+        band = l_idx - j_idx - base
+        band_masks[v] = [
+            (band == sx).astype(jnp.float32) for sx in range(-clamp, clamp + 2)
+        ]
+
+    def row_body(r, _):
+        # all 8 sample rows this output row can touch: u-p+sy in [-3, 4]
+        stack = x_ref[0, pl.ds(r + row_halo - clamp - padding, span + kh - 1), 0]
+        # (span+kh-1, C, 128)
+
+        tap_outs = []
+        for t in range(k):
+            u, v = t // kw, t % kw
+            dy = jnp.clip(
+                off_ref[0, r, t, 0, :].astype(jnp.float32), -clamp, clamp
+            )
+            dx = jnp.clip(
+                off_ref[0, r, k + t, 0, :].astype(jnp.float32), -clamp, clamp
+            )
+            iy = jnp.floor(dy)
+            ix = jnp.floor(dx)
+            fy = dy - iy
+            fx = dx - ix
+
+            s_mat = jnp.zeros((_LANES, _LANES), jnp.float32)
+            for si, sx in enumerate(range(-clamp, clamp + 2)):
+                wx = ((1.0 - fx) * (ix == sx) + fx * (ix == sx - 1)) * valid
+                s_mat = s_mat + band_masks[v][si] * wx[None, :]
+
+            # one (span*C, 128) @ (128, 128) dot covers every sy shift
+            slabs = stack[u : u + span].reshape(span * c_in, _LANES)
+            prod = jnp.dot(
+                slabs, s_mat, preferred_element_type=jnp.float32
+            ).reshape(span, c_in, _LANES)
+
+            wy = jnp.stack(
+                [
+                    (1.0 - fy) * (iy == sy) + fy * (iy == sy - 1)
+                    for sy in range(-clamp, clamp + 2)
+                ]
+            )  # (span, 128)
+            tap_outs.append(jnp.sum(prod * wy[:, None, :], axis=0))  # (C, 128)
+
+        y_all = jnp.concatenate(tap_outs, axis=0)  # (K*C, 128)
+        acc = jnp.dot(w_ref[...], y_all, preferred_element_type=jnp.float32)
+        out_ref[0, r, 0] = (acc + b_ref[0]).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, bh, row_body, 0)
 
 
 def _deform_rolls_kernel(
