@@ -8,9 +8,12 @@ the whole-Antarctica tiling of deepbedmap.py:691-736) on the available device
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-vs_baseline: the reference publishes no tile throughput (SURVEY.md section 6).
-We use an analytic V100-fp32 estimate as the baseline denominator: ~1.6 TFLOP
-per 288x288-lr generator forward at ~40% of 14 TFLOP/s peak -> ~4 tiles/s.
+vs_baseline: the reference publishes no tile throughput (SURVEY.md section 6),
+so the denominator is the BASELINE.json north star itself — whole-Antarctica
+(396 tiles, deepbedmap.py:691-736) in <60 s on a v5e-8, i.e. 396/60/8 = 0.825
+tiles/s/chip required. vs_baseline > 8 therefore means ONE chip beats the
+whole 8-chip target (measured end-to-end: 56.2 s on one v5e,
+benchmarks/bench_continent.py).
 """
 
 from __future__ import annotations
@@ -22,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_TILES_PER_SEC_ESTIMATE = 4.0  # V100 fp32, analytic (see docstring)
+NORTH_STAR_TILES_PER_SEC_PER_CHIP = 396.0 / 60.0 / 8  # <60 s on v5e-8 (BASELINE.json)
 
 
 def build_tile_inputs(crop_lr: int = 288, batch: int = 1, seed: int = 0):
@@ -78,7 +81,7 @@ def main() -> None:
         "metric": "sr_tiles_per_sec_per_chip",
         "value": round(tiles_per_sec, 3),
         "unit": "288px-lr continent tiles/s/chip",
-        "vs_baseline": round(tiles_per_sec / REFERENCE_TILES_PER_SEC_ESTIMATE, 3),
+        "vs_baseline": round(tiles_per_sec / NORTH_STAR_TILES_PER_SEC_PER_CHIP, 3),
     }
     print(json.dumps(result))
 

@@ -12,6 +12,11 @@ Configs covered (PROGRESS.jsonl):
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import json
 import time
 

@@ -14,6 +14,11 @@ Prints one JSON line per measurement.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import json
 import time
 

@@ -8,6 +8,11 @@ The reference trains ~150 epochs in ~30 min on a V100
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import json
 import time
 

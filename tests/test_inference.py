@@ -82,3 +82,22 @@ def test_sharded_uneven_tiles(forward):
     mesh = make_mesh(8)
     tiles = sharded_predict_tiles(forward, inputs, plan, mesh)
     assert tiles.shape == (3, 32, 32)
+
+
+@pytest.mark.slow
+def test_sharded_reference_tile_count(forward):
+    """The full 396-tile reference geometry (18 bands x 22 tiles,
+    deepbedmap.py:689-740) sharded over the 8-device mesh must equal the
+    single-device tiled path tile-for-tile (VERDICT round-1 item 6: dryrun
+    shapes were toys; this runs the real tile COUNT, scaled-down tiles)."""
+    plan = TilePlan(out_h=18 * 16, out_w=22 * 16, tile_out=16, halo_lr=2)
+    assert plan.num_tiles == 396
+    inputs = _region_inputs(plan)
+    mesh = make_mesh(8)
+    tiles = sharded_predict_tiles(forward, inputs, plan, mesh)
+    assert tiles.shape == (396, 16, 16)
+    canvas = stitch_tiles(tiles, plan)
+    whole = jax.jit(lambda i: predict_region_tiled(forward, i, plan))(inputs)
+    np.testing.assert_allclose(
+        np.asarray(canvas), np.asarray(whole)[0, :, :, 0], rtol=1e-4, atol=1e-5
+    )

@@ -56,3 +56,48 @@ def test_sharded_step_matches_single_device():
         jax.tree_util.tree_leaves(new_b.d_batch_stats),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_sharded_epoch_matches_single_device():
+    """A full >=2-step epoch, batch sharded 8 ways, must end in the same
+    parameters and BN statistics as the single-device epoch (VERDICT round-1
+    item 6: exercise the sharded path beyond one step)."""
+    from deepbedmap_tpu.data.dataset import epoch_batches
+
+    g_model = Generator(TINY_G)
+    d_model = Discriminator(DiscriminatorConfig())
+    dataset = TileDataset.synthetic(16, seed=3)
+    indices = epoch_batches(
+        np.arange(16), T_CFG.batch_size, np.random.RandomState(0)
+    )
+
+    state_a = create_gan_state(TINY_G, t_cfg=T_CFG)
+    state_b = jax.tree_util.tree_map(jnp.copy, state_a)
+
+    single = jax.jit(make_train_step(g_model, d_model, T_CFG))
+    for idx in indices:
+        batch = dataset.take(jnp.asarray(idx))
+        state_a, _ = single(state_a, batch)
+
+    mesh = make_mesh(8)
+    sharded_step = make_sharded_train_step(mesh, g_model, d_model, T_CFG)
+    data = batch_sharding(mesh)
+    for idx in indices:
+        batch = dataset.take(jnp.asarray(idx))
+        sharded_batch = {k: jax.device_put(v, data) for k, v in batch.items()}
+        state_b, _ = sharded_step(state_b, sharded_batch)
+
+    # single-step math is pinned bit-tight in the test above; across an epoch
+    # Adam's sqrt(v)+eps denominators amplify fp32 reduction-order noise, so
+    # the end-of-epoch contract is agreement to ~1e-2 relative on every leaf
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.g_params),
+        jax.tree_util.tree_leaves(state_b.g_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.d_batch_stats),
+        jax.tree_util.tree_leaves(state_b.d_batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=1e-4)
