@@ -489,7 +489,10 @@ def _deform_zproj1_kernel(
                     acc = acc + w * rolled
                 total = total + acc.sum(axis=1)
 
-        out_ref[0, pl.ds(r, 8), 0] = (total + b_ref[0]).astype(out_ref.dtype)
+        # scalar read, upcast first: Mosaic supports neither a (1,1)->(8,128)
+        # sub-32-bit vector broadcast nor a sub-32-bit scalar extract
+        bias = b_ref[...].astype(jnp.float32)[0, 0, 0]
+        out_ref[0, pl.ds(r, 8), 0] = (total + bias).astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, bh // 8, row8_body, 0)
