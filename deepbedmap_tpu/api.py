@@ -16,6 +16,7 @@ on tiles you cropped yourself" (deepbedmap.py:381-447). Here:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -73,6 +74,35 @@ class DeepBedMap:
             path, cfg.num_residual_blocks, offset_order
         )
         return cls(params, cfg)
+
+    @classmethod
+    def from_experiment(
+        cls,
+        source,  # tracker root dir, http(s) base URL, or a Tracker instance
+        experiment_key: str = "latest",
+        download_path: str = "model/weights/srgan_generator_model_weights.npz",
+        api_key: Optional[str] = None,
+    ):
+        """Fetch trained weights by experiment key from a tracker — the
+        reference's Comet weight fetcher (_download_model_weights_from_comet,
+        features/environment.py:87-127, used by deepbedmap.py:381-410):
+        'latest' resolves to the newest experiment, the npz asset is
+        downloaded, and the run's logged num_residual_blocks /
+        residual_scaling rebuild the matching generator."""
+        from deepbedmap_tpu.utils.tracking import download_model_weights
+
+        hp = download_model_weights(
+            source,
+            experiment_key=experiment_key,
+            asset_name=os.path.basename(download_path),
+            download_path=download_path,
+            api_key=api_key,
+        )
+        cfg = GeneratorConfig(
+            num_residual_blocks=int(hp.get("num_residual_blocks", 12)),
+            residual_scaling=float(hp.get("residual_scaling", 0.1)),
+        )
+        return cls.from_chainer_npz(download_path, cfg)
 
     # ---- forward ----
     def forward_fn(self):

@@ -112,3 +112,48 @@ def lzw_decode(data: bytes) -> bytes:
         if n >= 0:
             return out.raw[:n]
         cap *= 2
+
+
+_lib.tiff_lzw_decode_blocks.restype = ctypes.c_longlong
+_lib.tiff_lzw_decode_blocks.argtypes = [
+    ctypes.c_char_p,
+    ctypes.POINTER(ctypes.c_longlong),
+    ctypes.c_int,
+    ctypes.c_char_p,
+    ctypes.POINTER(ctypes.c_longlong),
+    ctypes.POINTER(ctypes.c_longlong),
+    ctypes.c_int,
+]
+
+
+def lzw_decode_blocks(blocks, out_sizes, n_threads: int = 0) -> bytes:
+    """Decompress independent TIFF blocks in parallel into one contiguous
+    buffer; ``out_sizes[i]`` is block i's exact decoded byte count (known from
+    the strip/tile geometry). Returns the concatenated decoded bytes."""
+    if not blocks:
+        return b""
+    n = len(blocks)
+    in_offsets = (ctypes.c_longlong * (n + 1))()
+    total_in = 0
+    for i, b in enumerate(blocks):
+        in_offsets[i] = total_in
+        total_in += len(b)
+    in_offsets[n] = total_in
+    concat = b"".join(blocks)
+
+    out_offsets = (ctypes.c_longlong * (n + 1))()
+    total_out = 0
+    for i, s in enumerate(out_sizes):
+        out_offsets[i] = total_out
+        total_out += int(s)
+    out_offsets[n] = total_out
+
+    out = ctypes.create_string_buffer(total_out)
+    lens = (ctypes.c_longlong * n)()
+    rc = _lib.tiff_lzw_decode_blocks(
+        concat, in_offsets, n, out, out_offsets, lens, n_threads
+    )
+    if rc != 0:
+        bad = [i for i in range(n) if lens[i] < 0]
+        raise ValueError(f"LZW block decode failed for blocks {bad[:5]}")
+    return out.raw

@@ -232,11 +232,27 @@ def read_geotiff(path: str):
     dt = np.dtype(dtype).newbyteorder(bo)
     itemsize = dt.itemsize
 
-    def decode_block(buf: bytes, rows: int, cols: int) -> np.ndarray:
-        if compression == 5:
-            buf = lzw_decode(buf)
-        buf = buf[: rows * cols * itemsize]
-        arr = np.frombuffer(buf, dtype=dt).reshape(rows, cols).copy()
+    def decompress_all(blocks, out_sizes):
+        """LZW-decompress every strip/tile: threaded native block decode when
+        available (strips decompress independently), else sequential."""
+        if compression != 5:
+            return list(blocks)
+        nat = _native()
+        if nat is not None and hasattr(nat, "lzw_decode_blocks"):
+            flat = nat.lzw_decode_blocks(blocks, out_sizes)
+            outs, at = [], 0
+            for s in out_sizes:
+                outs.append(flat[at : at + s])
+                at += s
+            return outs
+        return [lzw_decode(b) for b in blocks]
+
+    def to_array(buf: bytes, rows: int, cols: int) -> np.ndarray:
+        arr = (
+            np.frombuffer(buf[: rows * cols * itemsize], dtype=dt)
+            .reshape(rows, cols)
+            .copy()
+        )
         if predictor == 2:
             arr = np.cumsum(arr, axis=1, dtype=arr.dtype)
         return arr
@@ -248,9 +264,11 @@ def read_geotiff(path: str):
         offs = tags[_T_TILE_OFFSETS].astype(np.int64)
         cnts = tags[_T_TILE_COUNTS].astype(np.int64)
         tiles_across = -(-width // tw)
-        for idx, (o, c) in enumerate(zip(offs, cnts)):
+        blocks = [bytes(raw[o : o + c]) for o, c in zip(offs, cnts)]
+        decoded = decompress_all(blocks, [th * tw * itemsize] * len(blocks))
+        for idx, buf in enumerate(decoded):
             ti, tj = idx // tiles_across, idx % tiles_across
-            block = decode_block(raw[o : o + c], th, tw)
+            block = to_array(buf, th, tw)
             r0, c0 = ti * th, tj * tw
             out[r0 : r0 + th, c0 : c0 + tw] = block[
                 : min(th, height - r0), : min(tw, width - c0)
@@ -259,10 +277,14 @@ def read_geotiff(path: str):
         rps = int(tags.get(_T_ROWS_PER_STRIP, np.array([height]))[0])
         offs = tags[_T_STRIP_OFFSETS].astype(np.int64)
         cnts = tags[_T_STRIP_COUNTS].astype(np.int64)
-        for idx, (o, c) in enumerate(zip(offs, cnts)):
+        rows_per = [min(rps, height - i * rps) for i in range(len(offs))]
+        blocks = [bytes(raw[o : o + c]) for o, c in zip(offs, cnts)]
+        decoded = decompress_all(
+            blocks, [r * width * itemsize for r in rows_per]
+        )
+        for idx, buf in enumerate(decoded):
             r0 = idx * rps
-            rows = min(rps, height - r0)
-            out[r0 : r0 + rows] = decode_block(raw[o : o + c], rows, width)
+            out[r0 : r0 + rows_per[idx]] = to_array(buf, rows_per[idx], width)
 
     meta = {"left": None, "top": None, "res": None, "nodata": None, "crs_epsg": None}
     if _T_PIXEL_SCALE in tags and _T_TIEPOINT in tags:

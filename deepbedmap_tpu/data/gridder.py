@@ -24,16 +24,41 @@ from deepbedmap_tpu.ops.spline import (
 
 
 def get_region(
-    xyz_data: pd.DataFrame, round_increment: int = 250
+    xyz_data: pd.DataFrame, round_increment: int = 250, mode: str = "round"
 ) -> Tuple[float, float, float, float]:
     """Bounding region rounded outward to the increment
     (reference get_region via `gmt info -I`, data_prep.py:353-378).
-    Returns (xmin, xmax, ymin, ymax) — GMT's -R order."""
+    Returns (xmin, xmax, ymin, ymax) — GMT's -R order.
+
+    ``mode``:
+      'round'   — plain outward rounding to the increment (default; the data
+                  contract — every point is inside, grid edges on increments).
+      'surface' — additionally reproduce `gmt info -Is` (what the reference
+                  calls): after rounding, pad the *shorter* axis so both axes
+                  span the SAME number of increments — floor(deficit/2) cells
+                  on the min side, the rest on the max side. Derived from the
+                  reference doctest (data_prep.py:365-370): x [580.8, 8324.4],
+                  y [205.8, 9507.1] -> '-250/9500/0/9750', i.e. y plainly
+                  rounded (39 intervals) and x padded 32 -> 39 intervals with
+                  3 cells left / 4 cells right. Only empty border cells are
+                  added (masked to NaN downstream); data content is identical.
+    """
     inc = float(round_increment)
     xmin = np.floor(xyz_data.x.min() / inc) * inc
     xmax = np.ceil(xyz_data.x.max() / inc) * inc
     ymin = np.floor(xyz_data.y.min() / inc) * inc
     ymax = np.ceil(xyz_data.y.max() / inc) * inc
+    if mode == "surface":
+        nx = int(round((xmax - xmin) / inc))
+        ny = int(round((ymax - ymin) / inc))
+        if nx < ny:
+            pad = ny - nx
+            xmin -= (pad // 2) * inc
+            xmax += (pad - pad // 2) * inc
+        elif ny < nx:
+            pad = nx - ny
+            ymin -= (pad // 2) * inc
+            ymax += (pad - pad // 2) * inc
     return (float(xmin), float(xmax), float(ymin), float(ymax))
 
 
@@ -65,11 +90,21 @@ def xyz_to_grid(
     tension: float = 0.35,
     mask_cell_radius: int = 3,
     iterations: int = 500,
+    offset_correction: bool = True,
 ) -> Raster:
     """Grid xyz points to a pixel-registered Raster
     (reference xyz_to_grid, data_prep.py:382-441):
     blockmedian -> tension-spline solve on gridline nodes -> mask cells
-    > mask_cell_radius from data -> gridline->pixel resample."""
+    > mask_cell_radius from data -> gridline->pixel resample.
+
+    ``offset_correction``: blockmedian points land up to half a cell away
+    from the node they constrain; GMT surface honours that offset ("briar"
+    constraints) while a plain node snap introduces an O(spacing * |grad z|)
+    error. With correction on, an initial solve estimates the local gradient
+    and each constraint is moved to its node along that plane
+    (z_node = z_pt - grad . offset), cutting the error to O(spacing^2);
+    quantified in tests/test_gridder.py::test_offset_correction_reduces_error.
+    """
     xmin, xmax, ymin, ymax = region
     med = blockmedian(xyz_data, region, spacing)
 
@@ -79,21 +114,44 @@ def xyz_to_grid(
     col = np.clip(np.round((med.x - xmin) / spacing).astype(int), 0, nx - 1)
     row = np.clip(np.round((ymax - med.y) / spacing).astype(int), 0, ny - 1)
 
-    data = np.zeros((ny, nx), np.float32)
-    count = np.zeros((ny, nx), np.float32)
-    np.add.at(data, (row, col), med.z.astype(np.float32))
-    np.add.at(count, (row, col), 1.0)
-    has_data = count > 0
-    data[has_data] /= count[has_data]
+    def constrain(z_values):
+        data = np.zeros((ny, nx), np.float32)
+        count = np.zeros((ny, nx), np.float32)
+        np.add.at(data, (row, col), z_values.astype(np.float32))
+        np.add.at(count, (row, col), 1.0)
+        has = count > 0
+        data[has] /= count[has]
+        return data, has
 
-    z = np.asarray(
-        solve_tension_spline(
-            jnp.asarray(data),
-            jnp.asarray(has_data),
-            tension=tension,
-            iterations=iterations,
+    data, has_data = constrain(np.asarray(med.z))
+
+    def solve(d):
+        return np.asarray(
+            solve_tension_spline(
+                jnp.asarray(d),
+                jnp.asarray(has_data),
+                tension=tension,
+                iterations=iterations,
+            )
         )
-    )
+
+    if offset_correction:
+        z0 = solve(data)
+        # local gradient of the first-pass surface (per metre)
+        gy, gx = np.gradient(z0, spacing)
+        # node each point constrains, and the point's offset from it
+        node_x = xmin + col * spacing
+        node_y = ymax - row * spacing
+        dx = np.asarray(med.x) - node_x
+        dy = np.asarray(med.y) - node_y
+        z_corr = (
+            np.asarray(med.z)
+            - gx[row, col] * dx
+            - (-gy[row, col]) * dy  # row axis runs top-down: d/dy = -d/drow
+        )
+        data, has_data = constrain(z_corr)
+
+    z = solve(data)
 
     # mask nodes far from data, then resample to pixel registration
     far = distance_mask(has_data, mask_cell_radius)

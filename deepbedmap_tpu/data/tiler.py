@@ -73,10 +73,13 @@ def selective_tile(
         if gapfiller is not None:
             tiles[mask] = gapfiller
         else:
+            import warnings
+
             bad = np.argwhere(mask.any(axis=(1, 2, 3))).ravel()
-            print(
-                f"WARN: tiles {bad.tolist()} have missing data, "
-                "pass a gapfiller value"
+            warnings.warn(
+                f"tiles {bad.tolist()} have missing data, pass a gapfiller "
+                "value",
+                stacklevel=2,
             )
     return tiles
 

@@ -657,8 +657,11 @@ def _deform_zform_kernel(
     lane-pre-shifted by the tap's static column offset), then evaluate the
     (2*clamp+2)^2 masked-shift bilinear terms on the (K*C_out, 128) projection
     stack — all K taps ride along the sublane axis of every VPU op, so the
-    per-term cost no longer multiplies by K. ~2.3x the banded-matmul v1 at
-    c_out=64 and ~20x at c_out=1 (the reference generator's final layer,
+    per-term cost no longer multiplies by K. Measured at 1144^2 x 64ch on one
+    v5e: 76 ms — SLOWER than banded v1 (50 ms) and the stacked v3 (20.3 ms),
+    so it is never auto-dispatched; kept as the in-kernel-projection
+    reference implementation. At c_out=1 the standalone zproj1 kernel
+    (9.4 ms) wins instead (the reference generator's final layer,
     srgan_train.py:517-523).
     """
     k = kh * kw

@@ -4,6 +4,7 @@ synthetic radar survey -> gridding -> windows -> training tiles -> GAN training
 RMSE -> figure. Run from the repo root: `python examples/synthetic_pipeline.py`
 (CPU; ~15 min on a 1-core sandbox, dominated by one jit compile)."""
 import os, sys, tempfile, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)

