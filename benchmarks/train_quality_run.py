@@ -29,6 +29,14 @@ import json
 import time
 
 import jax
+
+# resumed invocations should not repay the multi-minute train-step compile
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("DEEPBEDMAP_JAX_CACHE", "/tmp/deepbedmap_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -69,6 +69,28 @@ class Raster:
         out[out == self.nodata] = np.nan
         return out
 
+    def crop(self, bounds: Tuple[float, float, float, float]) -> "Raster":
+        """Crop to (xmin, ymin, xmax, ymax), snapped outward to the pixel grid
+        and clipped to the raster — `gmt grdcut -R` (the reference cuts the
+        continent DEM to study regions this way, data_prep.py:478,
+        paper_figures.py:888-892). Returns a view-copied Raster whose edges
+        lie on this raster's pixel boundaries."""
+        xmin, ymin, xmax, ymax = bounds
+        j0 = max(int(np.floor((xmin - self.left) / self.res)), 0)
+        j1 = min(int(np.ceil((xmax - self.left) / self.res)), self.width)
+        i0 = max(int(np.floor((self.top - ymax) / self.res)), 0)
+        i1 = min(int(np.ceil((self.top - ymin) / self.res)), self.height)
+        if i0 >= i1 or j0 >= j1:
+            raise ValueError(f"crop {bounds} does not intersect {self.bounds}")
+        return Raster(
+            data=np.ascontiguousarray(self.data[i0:i1, j0:j1]),
+            left=self.left + j0 * self.res,
+            top=self.top - i0 * self.res,
+            res=self.res,
+            crs=self.crs,
+            nodata=self.nodata,
+        )
+
     @classmethod
     def from_centers(
         cls, data: np.ndarray, x: np.ndarray, y: np.ndarray, **kw

@@ -189,3 +189,27 @@ def test_raster_bounds():
     assert raster.bounds == (-0.5, -0.5, 7.5, 7.5)
     np.testing.assert_allclose(raster.x_centers, np.arange(8.0))
     np.testing.assert_allclose(raster.y_centers, 7.0 - np.arange(8.0))
+
+
+def test_raster_crop_grdcut():
+    """Raster.crop = gmt grdcut -R: outward pixel-snapped, clipped, correct
+    georeferencing (reference data_prep.py:478)."""
+    from deepbedmap_tpu.data.raster import Raster
+
+    data = np.arange(100, dtype=np.float32).reshape(10, 10)
+    r = Raster(data, left=0.0, top=1000.0, res=100.0)
+
+    c = r.crop((150.0, 250.0, 450.0, 750.0))
+    # snapped outward: x [100, 500), y (200, 800]
+    assert c.bounds == (100.0, 200.0, 500.0, 800.0)
+    np.testing.assert_array_equal(c.data, data[2:8, 1:5])
+
+    # clipped to the raster
+    c2 = r.crop((-500.0, -500.0, 5000.0, 5000.0))
+    assert c2.bounds == r.bounds
+    np.testing.assert_array_equal(c2.data, data)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        r.crop((2000.0, 2000.0, 3000.0, 3000.0))
