@@ -1,0 +1,314 @@
+"""Command-line interface — the reference's notebook entry points as commands.
+
+The reference is driven by running its notebooks top-to-bottom (data_prep
+-> srgan_train -> deepbedmap -> paper_figures). Here each stage is a
+subcommand over the library APIs:
+
+    python -m deepbedmap_tpu verify-data [--datalist FILE]
+    python -m deepbedmap_tpu grid SURVEY.json -o out.nc [--data-dir DIR]
+    python -m deepbedmap_tpu train --tiles DIR --epochs N --out CKPT
+    python -m deepbedmap_tpu hpo --tiles DIR --trials N --storage sqlite:///db
+    python -m deepbedmap_tpu predict --checkpoint CKPT --bounds xmin,ymin,xmax,ymax ...
+    python -m deepbedmap_tpu evaluate --dem FILE --track FILE.csv
+    python -m deepbedmap_tpu figures -o OUTDIR
+
+Every command prints a one-line JSON result to stdout (machine-readable,
+mirrors bench.py's contract); human logs go to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj), flush=True)
+
+
+def cmd_verify_data(args) -> int:
+    import os
+
+    from deepbedmap_tpu.data.manifest import (
+        DEFAULT_MANIFEST,
+        download_to_path,
+        parse_datalist,
+        verify_datalist,
+    )
+
+    datalist = args.datalist or DEFAULT_MANIFEST
+    records = parse_datalist(datalist)
+    _log(f"{len(records)} files in manifest")
+    if args.download:
+        for rec in records:
+            if "filename" not in rec or "url" not in rec:
+                continue
+            path = os.path.join(args.root, rec.get("folder", ""), rec["filename"])
+            download_to_path(path, rec["url"])
+    # strict=False: report mismatches instead of raising; absent files are
+    # simply not in the result (zero-egress sandboxes verify what they have)
+    results = verify_datalist(datalist, root=args.root, strict=False)
+    bad = sorted(k for k, ok in results.items() if not ok)
+    _emit(
+        {
+            "command": "verify-data",
+            "manifest_files": len(records),
+            "present": len(results),
+            "ok": sum(1 for ok in results.values() if ok),
+            "bad": bad,
+        }
+    )
+    return 1 if bad else 0
+
+
+def cmd_grid(args) -> int:
+    from deepbedmap_tpu.data.gridder import get_region, xyz_to_grid
+    from deepbedmap_tpu.data.pipeline import ascii_to_xyz
+    from deepbedmap_tpu.data.raster import write_netcdf
+
+    xyz = ascii_to_xyz(args.survey, data_dir=args.data_dir)
+    _log(f"{len(xyz)} points from {args.survey}")
+    region = get_region(xyz, args.spacing, mode=args.region_mode)
+    raster = xyz_to_grid(xyz, region, spacing=args.spacing)
+    write_netcdf(raster, args.out)
+    _emit(
+        {
+            "command": "grid",
+            "points": int(len(xyz)),
+            "region": list(region),
+            "shape": list(raster.data.shape),
+            "out": args.out,
+        }
+    )
+    return 0
+
+
+def cmd_train(args) -> int:
+    import numpy as np
+
+    from deepbedmap_tpu.config import GeneratorConfig, TrainConfig
+    from deepbedmap_tpu.data.dataset import TileDataset
+    from deepbedmap_tpu.models import Discriminator, Generator
+    from deepbedmap_tpu.train import create_gan_state, fit
+    from deepbedmap_tpu.train.checkpoint import save_checkpoint
+
+    if args.tiles:
+        arrays = {
+            k: np.load(f"{args.tiles}/{k}_data.npy")
+            for k in ("X", "W1", "W2", "W3", "Y")
+        }
+        dataset = TileDataset.from_nchw(arrays)
+    else:
+        dataset = TileDataset.synthetic(args.synthetic_tiles, seed=0)
+    g_cfg = GeneratorConfig(num_residual_blocks=args.blocks)
+    t_cfg = TrainConfig(
+        batch_size=min(args.batch_size, max(1, int(len(dataset) * 0.9))),
+        learning_rate=args.learning_rate,
+    )
+    state = create_gan_state(g_cfg, t_cfg=t_cfg)
+    state, history = fit(
+        state,
+        dataset,
+        Generator(g_cfg),
+        Discriminator(),
+        t_cfg=t_cfg,
+        epochs=args.epochs,
+    )
+    if args.out:
+        save_checkpoint(state, args.out)
+    _emit(
+        {
+            "command": "train",
+            "tiles": len(dataset),
+            "epochs": args.epochs,
+            "first_g_loss": round(history[0]["generator_loss"], 4),
+            "final_g_loss": round(history[-1]["generator_loss"], 4),
+            "checkpoint": args.out,
+        }
+    )
+    return 0
+
+
+def cmd_hpo(args) -> int:
+    from deepbedmap_tpu.data.dataset import TileDataset
+    from deepbedmap_tpu.hpo import create_study
+    from deepbedmap_tpu.train.objective import objective
+
+    dataset = TileDataset.synthetic(args.synthetic_tiles, seed=0)
+    study = create_study(
+        direction="minimize",
+        storage=args.storage,
+        sampler_seed=args.seed,
+        pruner="hyperband",
+        min_resource=15,
+        max_resource=150,
+        reduction_factor=3,
+    )
+
+    def tiny_space(trial):
+        return dict(
+            batch_size_exponent=trial.suggest_int("batch_size_exponent", 2, 3),
+            learning_rate=trial.suggest_float("learning_rate", 1e-4, 2e-4, step=0.1e-4),
+            num_residual_blocks=trial.suggest_int("num_residual_blocks", 1, 1),
+            residual_scaling=trial.suggest_float("residual_scaling", 0.1, 0.3, step=0.05),
+            num_epochs=trial.suggest_int("num_epochs", 1, 2),
+        )
+
+    suggest = tiny_space if args.tiny else None
+    kwargs = {"suggest": suggest} if suggest else {}
+    study.optimize(lambda t: objective(t, dataset, **kwargs), n_trials=args.trials)
+    _emit(
+        {
+            "command": "hpo",
+            "trials": len(study.trials),
+            "best_value": round(study.best_value, 4),
+            "best_params": study.best_params,
+        }
+    )
+    return 0
+
+
+def cmd_predict(args) -> int:
+    from deepbedmap_tpu.api import DeepBedMap
+    from deepbedmap_tpu.config import GeneratorConfig
+    from deepbedmap_tpu.data.raster import read_netcdf, write_netcdf
+
+    cfg = GeneratorConfig(num_residual_blocks=args.blocks)
+    if args.checkpoint:
+        dbm = DeepBedMap.from_checkpoint(args.checkpoint, cfg)
+    elif args.npz:
+        dbm = DeepBedMap.from_chainer_npz(args.npz, cfg)
+    else:
+        _log("untrained generator (no --checkpoint/--npz)")
+        dbm = DeepBedMap(cfg=cfg)
+
+    rasters = {
+        "bed_lowres": read_netcdf(args.bed),
+        "surface": read_netcdf(args.surface),
+        "velocity_x": read_netcdf(args.velocity_x),
+        "velocity_y": read_netcdf(args.velocity_y),
+        "accumulation": read_netcdf(args.accumulation),
+    }
+    bounds = tuple(float(v) for v in args.bounds.split(","))
+    dem = dbm.predict(bounds, rasters)
+    write_netcdf(dem, args.out)
+    _emit(
+        {
+            "command": "predict",
+            "bounds": list(bounds),
+            "shape": list(dem.data.shape),
+            "out": args.out,
+        }
+    )
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    import pandas as pd
+
+    from deepbedmap_tpu.data.raster import read_netcdf
+    from deepbedmap_tpu.evalx import track_rmse
+
+    dem = read_netcdf(args.dem)
+    track = pd.read_csv(args.track)
+    rmse = track_rmse(
+        dem, track.x.values, track.y.values, track.z.values, method=args.method
+    )
+    _emit(
+        {
+            "command": "evaluate",
+            "points": int(len(track)),
+            "rmse_m": round(float(rmse), 4),
+            "method": args.method,
+        }
+    )
+    return 0
+
+
+def cmd_figures(args) -> int:
+    import subprocess
+
+    rc = subprocess.call(
+        [sys.executable, "examples/figure_set.py", args.out]
+    )
+    _emit({"command": "figures", "out": args.out, "rc": rc})
+    return rc
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="deepbedmap_tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    v = sub.add_parser("verify-data", help="check manifest files against sha256")
+    v.add_argument("--datalist", default=None, help="datasets.yml (default: bundled)")
+    v.add_argument("--root", default=".", help="directory holding the files")
+    v.add_argument("--download", action="store_true", help="fetch missing files first")
+    v.set_defaults(fn=cmd_verify_data)
+
+    g = sub.add_parser("grid", help="survey config -> gridded NetCDF")
+    g.add_argument("survey", help="per-survey pipeline JSON (highres/*.json format)")
+    g.add_argument("-o", "--out", required=True)
+    g.add_argument("--data-dir", default=None)
+    g.add_argument("--spacing", type=float, default=250.0)
+    g.add_argument("--region-mode", choices=("round", "surface"), default="round")
+    g.set_defaults(fn=cmd_grid)
+
+    t = sub.add_parser("train", help="train the GAN on tile arrays")
+    t.add_argument("--tiles", default=None, help="dir with X/W1/W2/W3/Y_data.npy")
+    t.add_argument("--synthetic-tiles", type=int, default=16)
+    t.add_argument("--epochs", type=int, default=2)
+    t.add_argument("--blocks", type=int, default=12)
+    t.add_argument("--batch-size", type=int, default=128)
+    t.add_argument("--learning-rate", type=float, default=1.6e-4)
+    t.add_argument("--out", default=None, help="checkpoint path")
+    t.set_defaults(fn=cmd_train)
+
+    h = sub.add_parser("hpo", help="hyperparameter search (reference pruner config)")
+    h.add_argument("--trials", type=int, default=3)
+    h.add_argument("--storage", default=None, help="sqlite:///path.db")
+    h.add_argument("--seed", type=int, default=42)
+    h.add_argument("--synthetic-tiles", type=int, default=16)
+    h.add_argument("--tiny", action="store_true", help="tiny search space (smoke)")
+    h.set_defaults(fn=cmd_hpo)
+
+    pr = sub.add_parser("predict", help="super-resolve one region")
+    pr.add_argument("--checkpoint", default=None)
+    pr.add_argument("--npz", default=None, help="reference-format weights")
+    pr.add_argument("--blocks", type=int, default=12)
+    pr.add_argument("--bounds", required=True, help="xmin,ymin,xmax,ymax (EPSG:3031 m)")
+    pr.add_argument("--bed", required=True, help="lowres bed NetCDF")
+    pr.add_argument("--surface", required=True)
+    pr.add_argument("--velocity-x", required=True)
+    pr.add_argument("--velocity-y", required=True)
+    pr.add_argument("--accumulation", required=True)
+    pr.add_argument("-o", "--out", required=True)
+    pr.set_defaults(fn=cmd_predict)
+
+    e = sub.add_parser("evaluate", help="track RMSE of a DEM vs survey xyz csv")
+    e.add_argument("--dem", required=True)
+    e.add_argument("--track", required=True, help="csv with x,y,z columns")
+    e.add_argument("--method", default="bicubic", choices=("bicubic", "bilinear", "nearest"))
+    e.set_defaults(fn=cmd_evaluate)
+
+    f = sub.add_parser("figures", help="regenerate the paper figure set")
+    f.add_argument("-o", "--out", default="figures")
+    f.set_defaults(fn=cmd_figures)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

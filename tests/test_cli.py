@@ -1,0 +1,106 @@
+"""CLI smoke tests: each subcommand drives its library path in-process on
+tiny synthetic data and prints the one-line JSON contract."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deepbedmap_tpu.cli import main
+
+
+def run_cli(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return rc, json.loads(out)
+
+
+def test_cli_verify_data(capsys, tmp_path):
+    rc, res = run_cli(capsys, ["verify-data", "--root", str(tmp_path)])
+    assert rc == 0
+    assert res["command"] == "verify-data"
+    assert res["manifest_files"] >= 30  # the bundled 33-file manifest
+    assert res["present"] == 0  # zero-egress sandbox: nothing on disk
+
+
+def test_cli_grid(capsys, tmp_path):
+    rs = np.random.RandomState(0)
+    n = 3000
+    csv = tmp_path / "survey.csv"
+    pd.DataFrame(
+        {
+            "x": rs.uniform(0, 5000, n),
+            "y": rs.uniform(0, 5000, n),
+            "z": rs.uniform(-500, -400, n),
+        }
+    ).to_csv(csv, index=False)
+    cfg = tmp_path / "survey.json"
+    cfg.write_text(
+        json.dumps(
+            {
+                "pipeline": [
+                    {
+                        "type": "readers.text",
+                        "filename": "survey.csv",
+                        "separator": ",",
+                        "header": "x,y,z",
+                        "usecols": "x,y,z",
+                        "skip": 0,
+                    }
+                ]
+            }
+        )
+    )
+    out = str(tmp_path / "grid.nc")
+    rc, res = run_cli(capsys, ["grid", str(cfg), "-o", out, "--spacing", "250"])
+    assert rc == 0
+    assert res["points"] == n
+    assert os.path.exists(out)
+
+    from deepbedmap_tpu.data.raster import read_netcdf
+
+    raster = read_netcdf(out)
+    assert raster.res == 250.0
+    assert np.isfinite(raster.data).any()
+
+
+@pytest.mark.slow
+def test_cli_train_and_evaluate(capsys, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    rc, res = run_cli(
+        capsys,
+        [
+            "train",
+            "--synthetic-tiles", "12",
+            "--epochs", "2",
+            "--blocks", "1",
+            "--batch-size", "4",
+            "--out", ckpt,
+        ],
+    )
+    assert rc == 0
+    assert res["tiles"] == 12
+    assert os.path.exists(ckpt)
+
+    # evaluate: DEM sampled against its own noisy track
+    from deepbedmap_tpu.data.raster import Raster, write_netcdf
+
+    rs = np.random.RandomState(1)
+    dem = Raster(rs.rand(40, 40).astype(np.float32) * 100, 0.0, 10_000.0, 250.0)
+    dem_path = str(tmp_path / "dem.nc")
+    write_netcdf(dem, dem_path)
+    tx = rs.uniform(1000, 9000, 200)
+    ty = rs.uniform(1000, 9000, 200)
+    from deepbedmap_tpu.evalx import grdtrack
+    import jax.numpy as jnp
+
+    tz = np.asarray(
+        grdtrack(jnp.asarray(dem.data), jnp.asarray(tx), jnp.asarray(ty), 0.0, 10_000.0, 250.0)
+    )
+    track = str(tmp_path / "track.csv")
+    pd.DataFrame({"x": tx, "y": ty, "z": tz}).to_csv(track, index=False)
+    rc, res = run_cli(capsys, ["evaluate", "--dem", dem_path, "--track", track])
+    assert rc == 0
+    assert res["rmse_m"] < 1e-3  # exact self-samples
