@@ -107,6 +107,62 @@ def main():
         )
     )
 
+    # pipelined product: device computes band i+1 while a writer thread
+    # LZW-encodes + writes strip i (GeoTiffStripWriter). Strips here are
+    # host-generated (fetching real strips would measure this image's
+    # ~26 MB/s tunnel, not the machine; a real TPU host moves 88 MB over
+    # PCIe in ~30 ms), so the number isolates compute/encode overlap.
+    import queue
+    import threading
+
+    from deepbedmap_tpu.data.geotiff import GeoTiffStripWriter
+
+    writer = GeoTiffStripWriter(
+        "/tmp/deepbedmap_dem_piped.tif",
+        height=plan.out_h,
+        width=plan.out_w,
+        left=-2_700_000.0,
+        top=2_300_000.0,
+        res=250.0,
+        dtype=np.int16,
+        nodata=-2000.0,
+        compress=True,
+    )
+    strips: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def drain():
+        while True:
+            s = strips.get()
+            if s is None:
+                return
+            writer.write_strip(s)
+
+    th = threading.Thread(target=drain, daemon=True)
+    th.start()
+    host_strips = [canvas[i * 1000 : (i + 1) * 1000] for i in range(gy)]
+    t0 = time.perf_counter()
+    checksum = 0.0
+    for b in range(gy):
+        band = make_band(jax.random.PRNGKey(b))
+        strip = band_predict(band)
+        checksum += float(jnp.sum(strip))
+        strips.put(host_strips[b])
+    strips.put(None)
+    th.join()
+    writer.close()
+    t_piped = time.perf_counter() - t0
+    size_mb = os.path.getsize("/tmp/deepbedmap_dem_piped.tif") / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "continent_product_pipelined",
+                "value": round(t_piped, 1),
+                "unit": f"s (compute + int16 LZW product overlapped, {size_mb:.0f} MB)",
+                "vs_sequential": round((total + t_write) / t_piped, 2),
+            }
+        )
+    )
+
 
 if __name__ == "__main__":
     main()

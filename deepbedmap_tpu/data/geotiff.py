@@ -491,3 +491,177 @@ def write_geotiff(
             f.write(b)
             if len(b) & 1:
                 f.write(b"\x00")
+
+
+# --------------------------------------------------------------------------
+# Streaming strip writer — bands in, IFD at close
+# --------------------------------------------------------------------------
+
+class GeoTiffStripWriter:
+    """Incremental single-band GeoTIFF writer: strips append as they arrive
+    (each ``write_strip`` call = one TIFF strip), the IFD lands at EOF on
+    ``close()`` and the header pointer is patched. This is what lets
+    whole-continent inference overlap device compute with LZW encoding and
+    disk I/O (inference.continent.predict_continent_to_geotiff) instead of
+    buffering an 18000x22000 canvas and writing it afterwards.
+
+    The reference buffers the full canvas and writes once at the end
+    (deepbedmap.py:744-756).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        height: int,
+        width: int,
+        left: float,
+        top: float,
+        res: float,
+        dtype=np.int16,
+        nodata: Optional[float] = None,
+        epsg: int = 3031,
+        compress: bool = True,
+        bigtiff: Optional[bool] = None,
+    ):
+        self.path = path
+        self.height, self.width = height, width
+        self.left, self.top, self.res = left, top, res
+        self.dtype = np.dtype(dtype)
+        self.nodata = nodata
+        self.epsg = epsg
+        self.compress = compress
+        if bigtiff is None:  # conservative: decide from the uncompressed size
+            bigtiff = height * width * self.dtype.itemsize + 65536 > 0xFFFF0000
+        self.bigtiff = bigtiff
+        self._offsets: list = []
+        self._counts: list = []
+        self._strip_rows: list = []
+        self._rows_written = 0
+        self._f = open(path, "wb")
+        if not bigtiff:
+            self._f.write(b"II" + struct.pack("<H", 42) + struct.pack("<I", 0))
+        else:
+            self._f.write(
+                b"II" + struct.pack("<HHH", 43, 8, 0) + struct.pack("<Q", 0)
+            )
+
+    def write_strip(self, rows: np.ndarray) -> None:
+        """Append one strip of full-width rows (any row count; converted to
+        ``dtype`` with NaN -> nodata when set)."""
+        assert rows.ndim == 2 and rows.shape[1] == self.width, rows.shape
+        assert self._rows_written + rows.shape[0] <= self.height
+        if self.nodata is not None and rows.dtype.kind == "f":
+            rows = np.where(np.isfinite(rows), rows, self.nodata)
+        block = np.ascontiguousarray(rows.astype(self.dtype)).tobytes()
+        if self.compress:
+            nat = _native()
+            if nat is not None:
+                block = nat.lzw_encode(block)
+            else:
+                block = _lzw_encode_py(block)
+        pos = self._f.tell()
+        self._offsets.append(pos)
+        self._counts.append(len(block))
+        self._strip_rows.append(rows.shape[0])
+        self._f.write(block)
+        if len(block) & 1:
+            self._f.write(b"\x00")
+        self._rows_written += rows.shape[0]
+
+    def close(self) -> None:
+        assert self._rows_written == self.height, (
+            self._rows_written, self.height,
+        )
+        # all strips must share RowsPerStrip except the last (TIFF contract)
+        if len(self._strip_rows) > 1:
+            assert len(set(self._strip_rows[:-1])) == 1, self._strip_rows
+        rps = self._strip_rows[0]
+
+        dt = self.dtype
+        sample_format = {"u": 1, "i": 2, "f": 3}[dt.kind]
+        geo_keys = np.array(
+            [
+                1, 1, 0, 3,
+                1024, 0, 1, 1,
+                1025, 0, 1, 1,
+                3072, 0, 1, self.epsg,
+            ],
+            np.uint16,
+        )
+        entries = [
+            (_T_WIDTH, 3, [self.width]),
+            (_T_HEIGHT, 3, [self.height]),
+            (_T_BITS, 3, [dt.itemsize * 8]),
+            (_T_COMPRESSION, 3, [5 if self.compress else 1]),
+            (_T_PHOTOMETRIC, 3, [1]),
+            (_T_SAMPLES, 3, [1]),
+            (_T_ROWS_PER_STRIP, 3, [rps]),
+            (_T_STRIP_OFFSETS, 16 if self.bigtiff else 4, self._offsets),
+            (_T_STRIP_COUNTS, 4, self._counts),
+            (_T_SAMPLE_FORMAT, 3, [sample_format]),
+            (_T_PIXEL_SCALE, 12, [self.res, self.res, 0.0]),
+            (_T_TIEPOINT, 12, [0, 0, 0, self.left, self.top, 0.0]),
+            (_T_GEO_KEYS, 3, geo_keys.tolist()),
+        ]
+        if self.nodata is not None:
+            nd = (
+                str(int(self.nodata))
+                if float(self.nodata).is_integer()
+                else repr(float(self.nodata))
+            ).encode() + b"\x00"
+            entries.append((_T_GDAL_NODATA, 2, nd))
+        entries.sort(key=lambda e: e[0])
+
+        bo = "<"
+        if not self.bigtiff:
+            entry_size, count_size, inline, off_fmt, count_fmt = 12, 2, 4, "I", "H"
+        else:
+            entry_size, count_size, inline, off_fmt, count_fmt = 20, 8, 8, "Q", "Q"
+
+        if self._f.tell() & 1:
+            self._f.write(b"\x00")
+        ifd_off = self._f.tell()
+        ifd_size = count_size + len(entries) * entry_size + (
+            4 if not self.bigtiff else 8
+        )
+        aux_cursor = ifd_off + ifd_size
+
+        def payload_bytes(typ, values):
+            if typ == 2:
+                return bytes(values)
+            return struct.pack(bo + _TYPE_FMT[typ] * len(values), *values)
+
+        out_entries = b""
+        aux_chunks = []
+        for tag, typ, values in entries:
+            payload = payload_bytes(typ, values)
+            cnt = len(payload) if typ == 2 else len(values)
+            if len(payload) <= inline:
+                val_field = payload + b"\x00" * (inline - len(payload))
+            else:
+                val_field = struct.pack(bo + off_fmt, aux_cursor)
+                padded = payload + (b"\x00" if len(payload) & 1 else b"")
+                aux_chunks.append(padded)
+                aux_cursor += len(padded)
+            out_entries += struct.pack(bo + "HH", tag, typ)
+            out_entries += struct.pack(bo + off_fmt, cnt)
+            out_entries += val_field
+
+        self._f.write(struct.pack(bo + count_fmt, len(entries)))
+        self._f.write(out_entries)
+        self._f.write(struct.pack(bo + off_fmt, 0))
+        for chunk in aux_chunks:
+            self._f.write(chunk)
+        # patch the header's IFD pointer
+        self._f.seek(4 if not self.bigtiff else 8)
+        self._f.write(struct.pack(bo + ("I" if not self.bigtiff else "Q"), ifd_off))
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+        else:
+            self._f.close()

@@ -125,6 +125,96 @@ def predict_continent(
     return canvas
 
 
+def predict_continent_to_geotiff(
+    forward_fn: Callable[..., jax.Array],
+    inputs_host: Dict[str, np.ndarray],
+    plan: TilePlan,
+    bounds: Tuple[float, float, float, float],  # (xmin, ymin, xmax, ymax)
+    outfilepath: str,
+    clip_conditioning: bool = True,
+    nodataval: float = -2000.0,
+    compress: bool = True,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> str:
+    """Band-streamed inference piped straight into the int16 LZW GeoTIFF —
+    a writer thread LZW-encodes and writes band strip i while the device
+    computes band i+1 (the ctypes LZW call and the device wait both release
+    the GIL, so compute and encode genuinely overlap). Peak host memory is
+    two strips instead of the full canvas, and the product is finished
+    moments after the last band — the reference computes everything, then
+    pays the full write afterwards (deepbedmap.py:744-756).
+    """
+    import queue
+    import threading
+
+    gy, _ = plan.grid
+    lh, lw = plan.lr_shape
+    pad = plan.pad_lr
+    band_predict = _make_band_predictor(forward_fn, plan, clip_conditioning)
+
+    xmin, ymin, xmax, ymax = bounds
+    from deepbedmap_tpu.data.geotiff import GeoTiffStripWriter
+
+    writer = GeoTiffStripWriter(
+        f"{outfilepath}.tif",
+        height=plan.out_h,
+        width=plan.out_w,
+        left=xmin,
+        top=ymax,
+        res=(xmax - xmin) / plan.out_w,
+        dtype=np.int16,
+        nodata=nodataval,
+        compress=compress,
+    )
+    strips: "queue.Queue" = queue.Queue(maxsize=2)
+    error: list = []
+
+    def drain():
+        while True:
+            strip = strips.get()
+            if strip is None:
+                return
+            try:
+                writer.write_strip(strip)
+            except Exception as e:  # surface in the main thread
+                error.append(e)
+                return
+
+    t = threading.Thread(target=drain, daemon=True)
+    t.start()
+
+    try:
+        for band in range(gy):
+            r0 = band * plan.tile_lr - pad
+            r1 = (band + 1) * plan.tile_lr + pad
+            band_inputs = {}
+            for key, ratio in INPUT_RATIOS.items():
+                a = inputs_host[key]
+                rr0, rr1 = r0 * ratio, r1 * ratio
+                top_pad = max(0, -rr0)
+                bot_pad = max(0, rr1 - ratio * lh)
+                sl = a[:, max(0, rr0) : min(ratio * lh, rr1)]
+                if top_pad or bot_pad:
+                    sl = np.pad(
+                        sl, ((0, 0), (top_pad, bot_pad), (0, 0), (0, 0)),
+                        mode="edge",
+                    )
+                band_inputs[key] = jnp.asarray(sl)
+            strip = np.asarray(band_predict(band_inputs))
+            if error:
+                raise error[0]
+            strips.put(strip)
+            if progress is not None:
+                progress(band + 1, gy)
+    finally:
+        strips.put(None)
+        t.join()
+    if error:
+        raise error[0]
+    writer.close()
+    return f"{outfilepath}.tif"
+
+
 def save_continent_dem(
     canvas: np.ndarray,
     bounds: Tuple[float, float, float, float],  # (xmin, ymin, xmax, ymax)

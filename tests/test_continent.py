@@ -75,3 +75,54 @@ def test_save_continent_dem(tmp_path, forward):
     np.testing.assert_array_equal(
         back[1:], canvas[1:].astype(np.int16)
     )
+
+
+def test_streaming_writer_matches_buffered(tmp_path, forward):
+    """predict_continent_to_geotiff (writer thread + incremental strips) must
+    produce a GeoTIFF with the same pixels and metadata as computing the full
+    canvas and writing it afterwards."""
+    from deepbedmap_tpu.inference.continent import predict_continent_to_geotiff
+
+    plan = TilePlan(out_h=96, out_w=64, tile_out=32, halo_lr=3)
+    inputs = _host_inputs(plan)
+    bounds = (0.0, 0.0, plan.out_w * 250.0, plan.out_h * 250.0)
+
+    canvas = predict_continent(forward, inputs, plan, clip_conditioning=False)
+    buffered = str(tmp_path / "buffered")
+    save_continent_dem(canvas, bounds, buffered)
+
+    streamed = str(tmp_path / "streamed")
+    out = predict_continent_to_geotiff(
+        forward, inputs, plan, bounds, streamed, clip_conditioning=False
+    )
+    a, meta_a = geotiff.read_geotiff(buffered + ".tif")
+    b, meta_b = geotiff.read_geotiff(out)
+    np.testing.assert_array_equal(a, b)
+    assert meta_a == meta_b
+
+
+def test_strip_writer_roundtrip(tmp_path):
+    """GeoTiffStripWriter: incremental strips (ragged last strip), LZW,
+    nodata, georeferencing all round-trip through the reader."""
+    from deepbedmap_tpu.data.geotiff import GeoTiffStripWriter, read_geotiff
+
+    rs = np.random.RandomState(0)
+    data = (rs.rand(50, 64) * 1000 - 500).astype(np.float32)
+    data[0, :5] = np.nan
+    path = str(tmp_path / "stream.tif")
+    w = GeoTiffStripWriter(
+        path, height=50, width=64, left=1000.0, top=9000.0, res=125.0,
+        dtype=np.int16, nodata=-2000.0, compress=True,
+    )
+    w.write_strip(data[:16])
+    w.write_strip(data[16:32])
+    w.write_strip(data[32:48])
+    w.write_strip(data[48:])  # ragged final strip
+    w.close()
+
+    back, meta = read_geotiff(path)
+    want = np.where(np.isfinite(data), data, -2000.0).astype(np.int16)
+    np.testing.assert_array_equal(back, want)
+    assert meta["left"] == 1000.0 and meta["top"] == 9000.0
+    assert meta["res"] == 125.0 and meta["nodata"] == -2000.0
+    assert meta["crs_epsg"] == 3031
