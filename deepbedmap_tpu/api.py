@@ -51,14 +51,33 @@ class DeepBedMap:
 
     # ---- constructors ----
     @classmethod
-    def from_checkpoint(cls, path: str, cfg: GeneratorConfig = GeneratorConfig()):
-        """Load generator params from an Orbax GANState checkpoint."""
+    def from_checkpoint(
+        cls,
+        path: str,
+        cfg: GeneratorConfig = GeneratorConfig(),
+        use_ema: bool = True,
+    ):
+        """Load generator params from an Orbax GANState checkpoint.
+
+        ``use_ema``: prefer the EMA weights when the run kept them
+        (TrainConfig.ema_decay > 0) — the lower-variance inference choice."""
+        from deepbedmap_tpu.config import TrainConfig
         from deepbedmap_tpu.train.checkpoint import restore_checkpoint
         from deepbedmap_tpu.train.state import create_gan_state
 
-        template = create_gan_state(cfg)
-        state = restore_checkpoint(path, template)
-        return cls(state.g_params, cfg)
+        template = create_gan_state(cfg, t_cfg=TrainConfig(ema_decay=1.0))
+        try:
+            state = restore_checkpoint(path, template)
+        except Exception:
+            # checkpoint without an EMA tree
+            template = create_gan_state(cfg)
+            state = restore_checkpoint(path, template)
+        params = (
+            state.g_ema
+            if use_ema and getattr(state, "g_ema", None) is not None
+            else state.g_params
+        )
+        return cls(params, cfg)
 
     @classmethod
     def from_chainer_npz(

@@ -104,6 +104,17 @@ class TrainConfig:
     # Precision policy: params fp32, conv compute bf16 on TPU when enabled.
     compute_dtype: str = "float32"
     data_axis: str = "data"  # mesh axis name for batch sharding
+    # --- training-quality extensions (off by default = reference parity) ---
+    # 'constant' (reference: fixed Adam alpha) or 'cosine' decay to
+    # lr * lr_final_scale over lr_total_steps with linear warmup.
+    lr_schedule: str = "constant"
+    lr_total_steps: int = 0
+    lr_warmup_steps: int = 0
+    lr_final_scale: float = 0.0
+    # exponential moving average of generator params (0 = off); inference
+    # from the EMA weights is the standard GAN variance-reduction trick the
+    # reference never applied.
+    ema_decay: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -206,12 +206,16 @@ def predict_continent_to_geotiff(
             strips.put(strip)
             if progress is not None:
                 progress(band + 1, gy)
-    finally:
         strips.put(None)
         t.join()
-    if error:
-        raise error[0]
-    writer.close()
+        if error:
+            raise error[0]
+        writer.close()
+    except BaseException:
+        strips.put(None)
+        t.join()
+        writer._f.close()  # leave no dangling handle on failure
+        raise
     return f"{outfilepath}.tif"
 
 

@@ -88,7 +88,7 @@ def shard_params_tp(mesh: Mesh, params: Any) -> Any:
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 
-def make_tp_forward(mesh: Mesh, model, params_sharded, donate: bool = False):
+def make_tp_forward(mesh: Mesh, model, params_sharded):
     """jit the model forward with params channel-sharded and the batch
     sharded over 'data' (replicated when the mesh has no data axis > 1)."""
     batch = NamedSharding(mesh, P("data"))

@@ -30,13 +30,35 @@ class GANState:
     d_params: Any
     d_batch_stats: Any
     d_opt: Any
+    # EMA of g_params (None unless TrainConfig.ema_decay > 0) — the standard
+    # GAN variance-reduction average the reference never applied; inference
+    # uses it via `state.g_ema or state.g_params`.
+    g_ema: Any = None
+
+
+def make_lr(cfg: TrainConfig):
+    """Learning-rate schedule: the reference's constant alpha, or cosine
+    decay to ``lr * lr_final_scale`` over ``lr_total_steps`` with
+    ``lr_warmup_steps`` of linear warmup."""
+    if cfg.lr_schedule == "constant":
+        return cfg.learning_rate
+    if cfg.lr_schedule == "cosine":
+        assert cfg.lr_total_steps > 0, "cosine schedule needs lr_total_steps"
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if cfg.lr_warmup_steps else cfg.learning_rate,
+            peak_value=cfg.learning_rate,
+            warmup_steps=cfg.lr_warmup_steps,
+            decay_steps=cfg.lr_total_steps,
+            end_value=cfg.learning_rate * cfg.lr_final_scale,
+        )
+    raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """Adam exactly as the reference configures it (alpha=lr, eps=1e-8,
-    default betas; srgan_train.py:1043-1048)."""
+    default betas; srgan_train.py:1043-1048), with the optional schedule."""
     return optax.adam(
-        learning_rate=cfg.learning_rate,
+        learning_rate=make_lr(cfg),
         b1=cfg.adam_beta1,
         b2=cfg.adam_beta2,
         eps=cfg.adam_eps,
@@ -60,4 +82,9 @@ def create_gan_state(
         d_params=d_vars["params"],
         d_batch_stats=d_vars["batch_stats"],
         d_opt=tx.init(d_vars["params"]),
+        g_ema=(
+            jax.tree_util.tree_map(jax.numpy.copy, g_params)
+            if t_cfg.ema_decay > 0
+            else None
+        ),
     )

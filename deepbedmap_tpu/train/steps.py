@@ -153,6 +153,16 @@ def make_train_step(
         g_updates, g_opt = tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 
+        if t_cfg.ema_decay > 0:
+            d_ema = t_cfg.ema_decay
+            g_ema = jax.tree_util.tree_map(
+                lambda e, p: d_ema * e + (1.0 - d_ema) * p,
+                state.g_ema,
+                g_params,
+            )
+        else:
+            g_ema = state.g_ema
+
         new_state = GANState(
             step=state.step + 1,
             g_params=g_params,
@@ -160,6 +170,7 @@ def make_train_step(
             d_params=d_params,
             d_batch_stats=new_bs,
             d_opt=d_opt,
+            g_ema=g_ema,
         )
         metrics = StepMetrics(d_loss, d_accu, g_loss, g_psnr, g_ssim)
         return new_state, metrics

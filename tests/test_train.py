@@ -211,3 +211,68 @@ def test_generator_learns_synthetic_sr_task():
     state, history = fit(state, dataset, g_model, d_model, t_cfg=t_cfg, epochs=8)
     first, last = history[0]["generator_loss"], history[-1]["generator_loss"]
     assert last < 0.6 * first, (first, last)
+
+
+def test_cosine_lr_schedule_values():
+    """make_lr('cosine'): warmup to peak, cosine down to lr*final_scale."""
+    from deepbedmap_tpu.train.state import make_lr
+
+    cfg = TrainConfig(
+        learning_rate=2e-4,
+        lr_schedule="cosine",
+        lr_total_steps=100,
+        lr_warmup_steps=10,
+        lr_final_scale=0.1,
+    )
+    sched = make_lr(cfg)
+    assert float(sched(0)) < 1e-6  # warmup start
+    np.testing.assert_allclose(float(sched(10)), 2e-4, rtol=1e-6)  # peak
+    np.testing.assert_allclose(float(sched(100)), 2e-5, rtol=1e-5)  # floor
+    assert float(sched(55)) < 2e-4  # decaying
+
+
+def test_ema_tracks_generator(setup):
+    """With ema_decay on: g_ema = decay*ema + (1-decay)*params per step,
+    lagging the live params; checkpoint round-trips the EMA tree."""
+    import tempfile
+
+    from deepbedmap_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+    g_model, d_model, _, dataset = setup
+    t_cfg = TrainConfig(batch_size=4, learning_rate=1e-3, ema_decay=0.9)
+    state = create_gan_state(TINY_G, t_cfg=t_cfg)
+    assert state.g_ema is not None
+    step = jax.jit(make_train_step(g_model, d_model, t_cfg))
+    batch = dataset.take(jnp.arange(4))
+
+    p0 = jax.tree_util.tree_map(jnp.copy, state.g_params)
+    state, _ = step(state, batch)
+    # hand-check one leaf: ema = 0.9*p0 + 0.1*p1
+    leaf0 = jax.tree_util.tree_leaves(p0)[0]
+    leaf1 = jax.tree_util.tree_leaves(state.g_params)[0]
+    leafe = jax.tree_util.tree_leaves(state.g_ema)[0]
+    np.testing.assert_allclose(
+        np.asarray(leafe), 0.9 * np.asarray(leaf0) + 0.1 * np.asarray(leaf1),
+        rtol=1e-5, atol=1e-8,
+    )
+
+    # EMA lags the live params
+    state, _ = step(state, batch)
+    diff = sum(
+        float(jnp.abs(e - p).sum())
+        for e, p in zip(
+            jax.tree_util.tree_leaves(state.g_ema),
+            jax.tree_util.tree_leaves(state.g_params),
+        )
+    )
+    assert diff > 0
+
+    with tempfile.TemporaryDirectory() as d:
+        save_checkpoint(state, f"{d}/ck")
+        template = create_gan_state(TINY_G, t_cfg=t_cfg)
+        back = restore_checkpoint(f"{d}/ck", template)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.g_ema),
+            jax.tree_util.tree_leaves(back.g_ema),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
