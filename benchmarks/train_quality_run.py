@@ -160,7 +160,12 @@ def main():
             }
         )
 
-    best = float("inf")
+    # carry the true best across resumed invocations
+    best = (
+        float(json.load(open(meta_path)).get("best_rmse", float("inf")))
+        if os.path.exists(meta_path)
+        else float("inf")
+    )
     t_clock = None  # budget clock starts after the first (compile-laden) epoch
     for epoch in range(start_epoch, TOTAL_EPOCHS):
         # per-epoch seeded shuffle so a resumed run sees the same batch order

@@ -65,13 +65,16 @@ class DeepBedMap:
         from deepbedmap_tpu.train.checkpoint import restore_checkpoint
         from deepbedmap_tpu.train.state import create_gan_state
 
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no checkpoint at {path}")
         template = create_gan_state(cfg, t_cfg=TrainConfig(ema_decay=1.0))
         try:
             state = restore_checkpoint(path, template)
         except Exception:
-            # checkpoint without an EMA tree
-            template = create_gan_state(cfg)
-            state = restore_checkpoint(path, template)
+            # template/tree mismatch: retry for checkpoints written without
+            # an EMA tree (ema_decay=0 runs); genuine corruption raises here
+            # too with the restore error intact
+            state = restore_checkpoint(path, create_gan_state(cfg))
         params = (
             state.g_ema
             if use_ema and getattr(state, "g_ema", None) is not None

@@ -231,11 +231,26 @@ def cmd_evaluate(args) -> int:
 
 
 def cmd_figures(args) -> int:
+    import os
     import subprocess
 
-    rc = subprocess.call(
-        [sys.executable, "examples/figure_set.py", args.out]
+    import deepbedmap_tpu
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(deepbedmap_tpu.__file__))),
+        "examples",
+        "figure_set.py",
     )
+    if not os.path.exists(script):
+        _emit(
+            {
+                "command": "figures",
+                "error": "examples/figure_set.py not found (repo checkout "
+                "required; the examples are not shipped in wheels)",
+            }
+        )
+        return 1
+    rc = subprocess.call([sys.executable, script, args.out])
     _emit({"command": "figures", "out": args.out, "rc": rc})
     return rc
 

@@ -234,17 +234,22 @@ def read_geotiff(path: str):
 
     def decompress_all(blocks, out_sizes):
         """LZW-decompress every strip/tile: threaded native block decode when
-        available (strips decompress independently), else sequential."""
+        available (strips decompress independently), else sequential.
+
+        Capacities are padded to the LARGEST block size: some writers encode
+        the final ragged strip padded to full rows_per_strip, which would
+        overflow an exact-size cap and fail the native decode even though the
+        extra rows are discarded; the python fallback truncates the same way.
+        """
         if compression != 5:
             return list(blocks)
         nat = _native()
         if nat is not None and hasattr(nat, "lzw_decode_blocks"):
-            flat = nat.lzw_decode_blocks(blocks, out_sizes)
-            outs, at = [], 0
-            for s in out_sizes:
-                outs.append(flat[at : at + s])
-                at += s
-            return outs
+            cap = max(out_sizes)
+            flat = nat.lzw_decode_blocks(blocks, [cap] * len(blocks))
+            return [
+                flat[i * cap : i * cap + s] for i, s in enumerate(out_sizes)
+            ]
         return [lzw_decode(b) for b in blocks]
 
     def to_array(buf: bytes, rows: int, cols: int) -> np.ndarray:

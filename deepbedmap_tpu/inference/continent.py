@@ -84,6 +84,34 @@ def _make_band_predictor(
     return band_predict
 
 
+def _band_inputs(
+    inputs_host: Dict[str, np.ndarray], plan: TilePlan, band: int
+) -> Dict[str, jax.Array]:
+    """Slice one vertical-halo'd row band out of the host rasters (edge
+    padding at region borders). Shared by the buffered and streamed paths so
+    their band geometry cannot diverge."""
+    lh, lw = plan.lr_shape
+    pad = plan.pad_lr
+    r0 = band * plan.tile_lr - pad
+    r1 = (band + 1) * plan.tile_lr + pad
+    out = {}
+    for key, ratio in INPUT_RATIOS.items():
+        a = inputs_host[key]
+        assert a.shape[1] == ratio * lh and a.shape[2] == ratio * lw, (
+            key, a.shape, (ratio * lh, ratio * lw),
+        )
+        rr0, rr1 = r0 * ratio, r1 * ratio
+        top_pad = max(0, -rr0)
+        bot_pad = max(0, rr1 - ratio * lh)
+        sl = a[:, max(0, rr0) : min(ratio * lh, rr1)]
+        if top_pad or bot_pad:
+            sl = np.pad(
+                sl, ((0, 0), (top_pad, bot_pad), (0, 0), (0, 0)), mode="edge"
+            )
+        out[key] = jnp.asarray(sl)
+    return out
+
+
 def predict_continent(
     forward_fn: Callable[..., jax.Array],
     inputs_host: Dict[str, np.ndarray],  # NHWC numpy, full region, unpadded
@@ -94,31 +122,11 @@ def predict_continent(
     """Predict the full (out_h, out_w) DEM band by band; returns the host
     canvas (float32)."""
     gy, _ = plan.grid
-    lh, lw = plan.lr_shape
-    pad = plan.pad_lr
     band_predict = _make_band_predictor(forward_fn, plan, clip_conditioning)
 
     canvas = np.empty((plan.out_h, plan.out_w), np.float32)
     for band in range(gy):
-        r0 = band * plan.tile_lr - pad
-        r1 = (band + 1) * plan.tile_lr + pad
-        band_inputs = {}
-        for key, ratio in INPUT_RATIOS.items():
-            a = inputs_host[key]
-            assert a.shape[1] == ratio * lh and a.shape[2] == ratio * lw, (
-                key, a.shape, (ratio * lh, ratio * lw),
-            )
-            rr0, rr1 = r0 * ratio, r1 * ratio
-            top_pad = max(0, -rr0)
-            bot_pad = max(0, rr1 - ratio * lh)
-            sl = a[:, max(0, rr0) : min(ratio * lh, rr1)]
-            if top_pad or bot_pad:
-                sl = np.pad(
-                    sl, ((0, 0), (top_pad, bot_pad), (0, 0), (0, 0)), mode="edge"
-                )
-            band_inputs[key] = jnp.asarray(sl)
-
-        strip = band_predict(band_inputs)
+        strip = band_predict(_band_inputs(inputs_host, plan, band))
         canvas[band * plan.tile_out : (band + 1) * plan.tile_out] = np.asarray(strip)
         if progress is not None:
             progress(band + 1, gy)
@@ -148,8 +156,6 @@ def predict_continent_to_geotiff(
     import threading
 
     gy, _ = plan.grid
-    lh, lw = plan.lr_shape
-    pad = plan.pad_lr
     band_predict = _make_band_predictor(forward_fn, plan, clip_conditioning)
 
     xmin, ymin, xmax, ymax = bounds
@@ -170,37 +176,27 @@ def predict_continent_to_geotiff(
     error: list = []
 
     def drain():
+        failed = False
         while True:
             strip = strips.get()
             if strip is None:
                 return
+            if failed:
+                continue  # keep consuming so the producer's put() never blocks
             try:
                 writer.write_strip(strip)
             except Exception as e:  # surface in the main thread
                 error.append(e)
-                return
+                failed = True
 
     t = threading.Thread(target=drain, daemon=True)
     t.start()
 
     try:
         for band in range(gy):
-            r0 = band * plan.tile_lr - pad
-            r1 = (band + 1) * plan.tile_lr + pad
-            band_inputs = {}
-            for key, ratio in INPUT_RATIOS.items():
-                a = inputs_host[key]
-                rr0, rr1 = r0 * ratio, r1 * ratio
-                top_pad = max(0, -rr0)
-                bot_pad = max(0, rr1 - ratio * lh)
-                sl = a[:, max(0, rr0) : min(ratio * lh, rr1)]
-                if top_pad or bot_pad:
-                    sl = np.pad(
-                        sl, ((0, 0), (top_pad, bot_pad), (0, 0), (0, 0)),
-                        mode="edge",
-                    )
-                band_inputs[key] = jnp.asarray(sl)
-            strip = np.asarray(band_predict(band_inputs))
+            strip = np.asarray(
+                band_predict(_band_inputs(inputs_host, plan, band))
+            )
             if error:
                 raise error[0]
             strips.put(strip)

@@ -131,12 +131,14 @@ def deform_conv2d_pallas(
 
     H/W are padded up to block multiples internally; output is cropped back.
     ``interpret`` defaults to True off-TPU so tests run on the CPU mesh.
-    ``mxu_bf16`` runs the banded shift matmuls with bf16 multiplicands
-    (fp32 accumulation) — single-pass on the MXU, ~4e-3 relative feature
-    error; note XLA's DEFAULT precision already does exactly this to every
-    conv in the surrounding model on TPU.
-    ``kernel_body``: 'banded' (S-matrix matmuls), 'rolls' (static lane
-    rotations, wins at clamp <= 1), or 'auto' (rolls iff clamp <= 1).
+    ``mxu_bf16`` runs the banded body's shift matmuls with bf16 multiplicands
+    (fp32 accumulation; banded-only — asserted, since measurement showed no
+    effect: Mosaic fp32 dots already run bf16-multiplicand on this hardware).
+    ``kernel_body``: 'stacked' (sy-slabs and tap contractions batched into
+    large matmuls — fastest at every clamp, measured 20.8 ms clamp=2 /
+    18.7 ms clamp=1 at 1144^2 x 64 vs banded 50 ms and rolls 25 ms),
+    'banded' (v1 S-matrix matmuls), 'rolls' (static lane rotations), or
+    'auto' (= 'stacked').
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -199,6 +201,9 @@ def deform_conv2d_pallas(
         # stacked wins at every clamp (clamp=2: 20.8 vs banded 50; clamp=1:
         # 18.7 vs rolls 25.3, measured 1144^2 x 64 on one v5e)
         kernel_body = "stacked"
+    assert not mxu_bf16 or kernel_body == "banded", (
+        "mxu_bf16 applies to the 'banded' body only"
+    )
     if kernel_body == "stacked":
         # tap-stacked contraction matrix: column block t holds weight[u,v,:,:]
         w_t = jnp.transpose(weight.reshape(k, c_in, c_out), (2, 0, 1)).reshape(
@@ -523,6 +528,10 @@ def deform_conv2d_pallas_zproj1(
     assert c_out == 1, "zproj1 kernel is specific to C_out == 1"
     k = kh * kw
     assert padding + clamp + 1 <= _LANE_HALO, "shift reach exceeds lane halo"
+    assert block_rows % 8 == 0, (
+        "zproj1 processes 8 output rows per VPU op; block_rows must be a "
+        f"multiple of 8 (got {block_rows})"
+    )
     row_halo = _LANE_HALO
     bh = block_rows
 

@@ -76,14 +76,27 @@ class LocalTracker(Tracker):
     ExistingExperiment(previous_experiment=key), srgan_train.py:1504-1508).
     """
 
-    def __init__(self, root: str, experiment_key: Optional[str] = None):
+    def __init__(
+        self,
+        root: str,
+        experiment_key: Optional[str] = None,
+        create: bool = True,
+    ):
+        """``create=False`` opens an existing experiment read-only-safely:
+        nothing is written or mkdir'd, and a missing key raises instead of
+        minting a junk experiment (which would also poison 'latest')."""
         self.root = root
         self.experiment_key = experiment_key or uuid.uuid4().hex
         self.dir = os.path.join(root, self.experiment_key)
-        os.makedirs(os.path.join(self.dir, "assets"), exist_ok=True)
         self._records = os.path.join(self.dir, "records.jsonl")
-        if not os.path.exists(self._records):
-            self._write({"type": "created", "ts": time.time()})
+        if create:
+            os.makedirs(os.path.join(self.dir, "assets"), exist_ok=True)
+            if not os.path.exists(self._records):
+                self._write({"type": "created", "ts": time.time()})
+        elif not os.path.exists(self._records):
+            raise FileNotFoundError(
+                f"no experiment {self.experiment_key!r} under {root}"
+            )
 
     def _write(self, record: Dict) -> None:
         with open(self._records, "a") as f:
@@ -134,25 +147,35 @@ class LocalTracker(Tracker):
         shutil.copy2(os.path.join(self.dir, "assets", name), download_path)
         return download_path
 
+    @staticmethod
+    def _created_ts(records_path: str) -> float:
+        with open(records_path) as f:
+            first = f.readline()
+        try:
+            return float(json.loads(first).get("ts", 0.0))
+        except (json.JSONDecodeError, ValueError):
+            return 0.0
+
     @classmethod
     def list_experiments(cls, root: str) -> List[str]:
+        """Experiment keys ordered by creation time (the 'created' record's
+        timestamp, like the reference's start_server_timestamp sort,
+        features/environment.py:108-110)."""
         if not os.path.isdir(root):
             return []
-        return sorted(
-            (
-                k
-                for k in os.listdir(root)
-                if os.path.exists(os.path.join(root, k, "records.jsonl"))
-            ),
-            key=lambda k: os.path.getmtime(os.path.join(root, k, "records.jsonl")),
-        )
+        keyed = [
+            (cls._created_ts(os.path.join(root, k, "records.jsonl")), k)
+            for k in os.listdir(root)
+            if os.path.exists(os.path.join(root, k, "records.jsonl"))
+        ]
+        return [k for _, k in sorted(keyed)]
 
     @classmethod
     def latest(cls, root: str) -> "LocalTracker":
         keys = cls.list_experiments(root)
         if not keys:
             raise FileNotFoundError(f"no experiments under {root}")
-        return cls(root, experiment_key=keys[-1])
+        return cls(root, experiment_key=keys[-1], create=False)
 
 
 class HTTPTracker(Tracker):
@@ -179,16 +202,20 @@ class HTTPTracker(Tracker):
         experiment_key: Optional[str] = None,
         api_key: Optional[str] = None,
         timeout: float = 10.0,
+        create: bool = True,
     ):
+        """``create=False`` opens an existing experiment without POSTing a
+        create — the pure-read mode ``download_model_weights`` uses."""
         self.base_url = base_url.rstrip("/")
         self.api_key = api_key
         self.timeout = timeout
         self.experiment_key = experiment_key or uuid.uuid4().hex
-        self._request(
-            "POST",
-            "/experiments",
-            json_body={"key": self.experiment_key, "ts": time.time()},
-        )
+        if create:
+            self._request(
+                "POST",
+                "/experiments",
+                json_body={"key": self.experiment_key, "ts": time.time()},
+            )
 
     def _request(self, method: str, path: str, json_body=None, raw_body=None):
         import urllib.request
@@ -327,6 +354,8 @@ def download_model_weights(
     experiment, the named npz asset is written to ``download_path``, and the
     experiment's logged params (num_residual_blocks, residual_scaling, ...)
     are returned so the caller can rebuild the matching model."""
+    # pure read: never create/mutate experiments while fetching (a typo'd key
+    # must raise, not mint a junk experiment that poisons 'latest')
     if isinstance(source, Tracker):
         tracker = source
     elif isinstance(source, str) and source.startswith(("http://", "https://")):
@@ -335,12 +364,14 @@ def download_model_weights(
             if experiment_key == "latest"
             else experiment_key
         )
-        tracker = HTTPTracker(source, experiment_key=key, api_key=api_key)
+        tracker = HTTPTracker(
+            source, experiment_key=key, api_key=api_key, create=False
+        )
     else:
         tracker = (
             LocalTracker.latest(source)
             if experiment_key == "latest"
-            else LocalTracker(source, experiment_key=experiment_key)
+            else LocalTracker(source, experiment_key=experiment_key, create=False)
         )
     tracker.fetch_asset(asset_name, download_path)
     return tracker.params()

@@ -237,3 +237,28 @@ def test_api_from_experiment_rebuilds_model(tmp_path):
     want = np.asarray(model.apply({"params": params}, *args))
     got = np.asarray(dbm.model.apply({"params": dbm.params}, *args))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_fetch_with_bad_key_does_not_poison_latest(tmp_path):
+    """Regression: a fetch with a typo'd key must raise without minting a
+    junk experiment — previously it created <root>/<typo>/ with the newest
+    timestamp, permanently hijacking 'latest' resolution."""
+    root = str(tmp_path / "experiments")
+    real = LocalTracker(root)
+    real.log_params({"generation": "real"})
+    weights = tmp_path / "w.npz"
+    np.savez(weights, a=np.arange(2))
+    real.log_asset(str(weights), name="srgan_generator_model_weights.npz")
+
+    with pytest.raises(FileNotFoundError):
+        download_model_weights(
+            root, "typo-key", "srgan_generator_model_weights.npz",
+            str(tmp_path / "out.npz"),
+        )
+    # 'latest' still resolves to the real experiment
+    assert LocalTracker.latest(root).experiment_key == real.experiment_key
+    params = download_model_weights(
+        root, "latest", "srgan_generator_model_weights.npz",
+        str(tmp_path / "out.npz"),
+    )
+    assert params["generation"] == "real"
