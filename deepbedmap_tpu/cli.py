@@ -255,6 +255,23 @@ def cmd_figures(args) -> int:
     return rc
 
 
+def cmd_serve(args) -> int:
+    from deepbedmap_tpu.api import DeepBedMap
+    from deepbedmap_tpu.config import GeneratorConfig
+    from deepbedmap_tpu.serve import serve_forever
+
+    cfg = GeneratorConfig(num_residual_blocks=args.blocks)
+    if args.checkpoint:
+        dbm = DeepBedMap.from_checkpoint(args.checkpoint, cfg)
+    elif args.npz:
+        dbm = DeepBedMap.from_chainer_npz(args.npz, cfg)
+    else:
+        _log("serving an untrained generator (no --checkpoint/--npz)")
+        dbm = DeepBedMap(cfg=cfg)
+    serve_forever(dbm, host=args.host, port=args.port)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="deepbedmap_tpu", description=__doc__,
@@ -316,6 +333,14 @@ def build_parser() -> argparse.ArgumentParser:
     f = sub.add_parser("figures", help="regenerate the paper figure set")
     f.add_argument("-o", "--out", default="figures")
     f.set_defaults(fn=cmd_figures)
+
+    s = sub.add_parser("serve", help="HTTP inference service (see serve.py)")
+    s.add_argument("--checkpoint", default=None)
+    s.add_argument("--npz", default=None)
+    s.add_argument("--blocks", type=int, default=12)
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=8500)
+    s.set_defaults(fn=cmd_serve)
 
     return p
 

@@ -1,0 +1,135 @@
+"""Serving tests: the HTTP inference service exercised over loopback with a
+tiny model — healthz, predict (NetCDF out, raster cache), evaluate, and
+error surfacing."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deepbedmap_tpu import DeepBedMap, GeneratorConfig
+from deepbedmap_tpu.data.raster import Raster, read_netcdf, write_netcdf
+from deepbedmap_tpu.serve import make_server
+
+TINY = GeneratorConfig(num_residual_blocks=1)
+
+
+def _rasters():
+    rs = np.random.RandomState(0)
+
+    def r(h, w, res):
+        return Raster(
+            rs.rand(h, w).astype(np.float32), left=-5000.0, top=35000.0, res=res
+        )
+
+    return {
+        "bed_lowres": r(40, 40, 1000.0),
+        "surface": r(400, 400, 100.0),
+        "velocity_x": r(90, 90, 450.0),
+        "velocity_y": r(90, 90, 450.0),
+        "accumulation": r(40, 40, 1000.0),
+    }
+
+
+def _post(base, path, payload):
+    req = urllib.request.Request(
+        base + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    raster_paths = {}
+    for name, raster in _rasters().items():
+        p = str(tmp / f"{name}.nc")
+        write_netcdf(raster, p)
+        raster_paths[name] = p
+
+    dbm = DeepBedMap(cfg=TINY)
+    srv = make_server(dbm)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_port}", raster_paths, tmp
+    srv.shutdown()
+    thread.join(timeout=5)
+
+
+def test_healthz(server):
+    base, _, _ = server
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
+        body = json.loads(resp.read())
+    assert body["status"] == "ok"
+    assert body["model"]["num_residual_blocks"] == 1
+
+
+def test_predict_roundtrip(server):
+    base, raster_paths, tmp = server
+    out = str(tmp / "dem.nc")
+    status, body = _post(
+        base,
+        "/predict",
+        {
+            "bounds": [1000.0, 1000.0, 10000.0, 10000.0],
+            "rasters": raster_paths,
+            "out": out,
+        },
+    )
+    assert status == 200, body
+    assert body["shape"] == [36, 36]
+    dem = read_netcdf(out)
+    assert dem.bounds == (1000.0, 1000.0, 10000.0, 10000.0)
+    assert np.isfinite(dem.data).all()
+
+    # same-shape second request reuses the jitted executable (fast path);
+    # just assert it still answers correctly
+    status2, body2 = _post(
+        base,
+        "/predict",
+        {"bounds": [2000.0, 2000.0, 11000.0, 11000.0], "rasters": raster_paths},
+    )
+    assert status2 == 200 and body2["shape"] == [36, 36]
+
+
+def test_evaluate_endpoint(server):
+    base, raster_paths, tmp = server
+    dem = read_netcdf(raster_paths["bed_lowres"])
+    rs = np.random.RandomState(3)
+    tx = rs.uniform(0, 30000, 50)
+    ty = rs.uniform(5000, 30000, 50)
+    import jax.numpy as jnp
+
+    from deepbedmap_tpu.evalx import grdtrack
+
+    tz = np.asarray(
+        grdtrack(
+            jnp.asarray(dem.data), jnp.asarray(tx), jnp.asarray(ty),
+            dem.left, dem.top, dem.res,
+        )
+    )
+    track = str(tmp / "track.csv")
+    pd.DataFrame({"x": tx, "y": ty, "z": tz}).to_csv(track, index=False)
+    status, body = _post(
+        base, "/evaluate", {"dem": raster_paths["bed_lowres"], "track": track}
+    )
+    assert status == 200
+    assert body["rmse_m"] < 1e-4  # exact self-samples
+    assert body["points"] == 50
+
+
+def test_error_surfacing(server):
+    base, _, _ = server
+    status, body = _post(base, "/predict", {"bounds": [0, 0, 1000, 1000], "rasters": {}})
+    assert status == 500
+    assert "error" in body
