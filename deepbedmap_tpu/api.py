@@ -183,11 +183,24 @@ class DeepBedMap:
         outfilepath: Optional[str] = None,
         tile_out: int = 1000,
         halo_lr: int = 18,
-    ) -> Raster:
+        mesh=None,
+        stream_product: bool = False,
+    ) -> Optional[Raster]:
         """Band-streamed whole-region prediction; optionally writes the int16
         LZW GeoTIFF product. Inputs follow the reference NCHW contract,
-        unpadded (covering exactly ``bounds``)."""
-        from deepbedmap_tpu.inference import TilePlan, predict_continent, save_continent_dem
+        unpadded (covering exactly ``bounds``).
+
+        ``mesh``: shard each band's tiles over a jax Mesh (multi-chip).
+        ``stream_product``: pipe strips straight into the GeoTIFF (encode
+        overlaps compute; requires ``outfilepath``; returns None — the
+        canvas is never materialised)."""
+        from deepbedmap_tpu.inference import (
+            TilePlan,
+            predict_continent,
+            predict_continent_to_geotiff,
+            save_continent_dem,
+        )
+        from deepbedmap_tpu.inference.continent import predict_continent_sharded
 
         xmin, ymin, xmax, ymax = bounds
         out_w = int(round((xmax - xmin) / self.resolution))
@@ -198,7 +211,18 @@ class DeepBedMap:
         host_inputs = {
             k: np.asarray(v).transpose(0, 2, 3, 1) for k, v in inputs_nchw.items()
         }
-        canvas = predict_continent(self.forward_fn(), host_inputs, plan)
+        if stream_product:
+            assert outfilepath is not None, "stream_product needs outfilepath"
+            predict_continent_to_geotiff(
+                self.forward_fn(), host_inputs, plan, bounds, outfilepath
+            )
+            return None
+        if mesh is not None:
+            canvas = predict_continent_sharded(
+                self.forward_fn(), host_inputs, plan, mesh
+            )
+        else:
+            canvas = predict_continent(self.forward_fn(), host_inputs, plan)
         if outfilepath is not None:
             save_continent_dem(canvas, bounds, outfilepath)
         return Raster(canvas, left=xmin, top=ymax, res=self.resolution)

@@ -15,6 +15,7 @@ from deepbedmap_tpu.inference.engine import (  # noqa: F401
 )
 from deepbedmap_tpu.inference.continent import (  # noqa: F401
     predict_continent,
+    predict_continent_sharded,
     predict_continent_to_geotiff,
     save_continent_dem,
 )

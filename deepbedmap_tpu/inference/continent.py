@@ -133,6 +133,63 @@ def predict_continent(
     return canvas
 
 
+def predict_continent_sharded(
+    forward_fn: Callable[..., jax.Array],
+    inputs_host: Dict[str, np.ndarray],
+    plan: TilePlan,
+    mesh,
+    clip_conditioning: bool = True,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> np.ndarray:
+    """Band streaming x mesh-sharded tiles — the multi-chip production path:
+    each row band's inputs move to the mesh once (vertical halo = REAL
+    neighbour rows, so output matches the single-device paths), and the
+    band's tiles are predicted in parallel across the mesh
+    (parallel.sharded_predict_tiles with prepadded vertical halos +
+    edge-padded horizontal halos). Memory per chip stays one band; speed
+    scales with the mesh.
+    """
+    from deepbedmap_tpu.parallel.api import sharded_predict_tiles
+
+    gy, gx = plan.grid
+    # band-local plan: one row of the full grid
+    band_plan = TilePlan(
+        out_h=plan.tile_out,
+        out_w=plan.out_w,
+        tile_out=plan.tile_out,
+        halo_lr=plan.halo_lr,
+        scale=plan.scale,
+    )
+    hpad = {k: band_plan.pad_lr * r for k, r in INPUT_RATIOS.items()}
+
+    canvas = np.empty((plan.out_h, plan.out_w), np.float32)
+    for band in range(gy):
+        band_inputs = _band_inputs(inputs_host, plan, band)
+        prepped = {}
+        for key, ratio in INPUT_RATIOS.items():
+            a = band_inputs[key]
+            if clip_conditioning and key != "X":
+                a = jnp.maximum(a, 0.0)
+            # horizontal halo is edge padding (region borders); the vertical
+            # halo rows are already real data from _band_inputs
+            prepped[key] = jnp.pad(
+                a,
+                ((0, 0), (0, 0), (hpad[key], hpad[key]), (0, 0)),
+                mode="edge",
+            )
+        tiles = sharded_predict_tiles(
+            forward_fn, prepped, band_plan, mesh, prepadded=True
+        )
+        assert tiles.shape == (gx, plan.tile_out, plan.tile_out)
+        strip = np.asarray(tiles).transpose(1, 0, 2).reshape(
+            plan.tile_out, plan.out_w
+        )
+        canvas[band * plan.tile_out : (band + 1) * plan.tile_out] = strip
+        if progress is not None:
+            progress(band + 1, gy)
+    return canvas
+
+
 def predict_continent_to_geotiff(
     forward_fn: Callable[..., jax.Array],
     inputs_host: Dict[str, np.ndarray],

@@ -55,11 +55,16 @@ def sharded_predict_tiles(
     mesh: Mesh,
     axis_name: str = "data",
     pad_mode: str = "edge",
+    prepadded: bool = False,
 ) -> jax.Array:
     """Predict all tiles of the plan, tile axis sharded over the mesh.
 
     Returns (num_tiles, tile_out, tile_out) sharded on axis 0 (padded tiles
     beyond the real grid are dropped before returning).
+
+    ``prepadded``: the inputs already carry the plan's pad_lr halo on every
+    side (e.g. a continent row band whose vertical halo is REAL neighbour
+    rows, inference.continent) — skip the edge padding here.
     """
     n_dev = mesh.devices.size
     gy, gx = plan.grid
@@ -91,7 +96,9 @@ def sharded_predict_tiles(
         )
     )
     tile_ids = jnp.arange(num_padded) % num  # wrap padding tiles (recomputed, dropped)
-    padded_inputs = pad_inputs(inputs, plan, pad_mode)
+    padded_inputs = (
+        inputs if prepadded else pad_inputs(inputs, plan, pad_mode)
+    )
     tiles = sharded(padded_inputs, tile_ids)
     return tiles[:num]
 

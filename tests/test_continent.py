@@ -126,3 +126,28 @@ def test_strip_writer_roundtrip(tmp_path):
     assert meta["left"] == 1000.0 and meta["top"] == 9000.0
     assert meta["res"] == 125.0 and meta["nodata"] == -2000.0
     assert meta["crs_epsg"] == 3031
+
+
+def test_sharded_band_streaming_matches_single_device(forward):
+    """predict_continent_sharded (band streaming x mesh-sharded tiles — the
+    multi-chip production path) must equal the single-device band engine
+    exactly: vertical halos are real rows, horizontal halos edge padding."""
+    from deepbedmap_tpu.inference.continent import predict_continent_sharded
+    from deepbedmap_tpu.parallel import make_mesh
+
+    plan = TilePlan(out_h=96, out_w=128, tile_out=32, halo_lr=3)
+    inputs = _host_inputs(plan)
+    single = predict_continent(forward, inputs, plan, clip_conditioning=False)
+    mesh = make_mesh(8)
+    sharded = predict_continent_sharded(
+        forward, inputs, plan, mesh, clip_conditioning=False
+    )
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
+
+    # clipping parity too
+    neg = {k: (v - 0.5).astype(np.float32) for k, v in inputs.items()}
+    single_c = predict_continent(forward, neg, plan, clip_conditioning=True)
+    sharded_c = predict_continent_sharded(
+        forward, neg, plan, mesh, clip_conditioning=True
+    )
+    np.testing.assert_allclose(sharded_c, single_c, rtol=1e-4, atol=1e-5)
