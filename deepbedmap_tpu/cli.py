@@ -255,6 +255,51 @@ def cmd_figures(args) -> int:
     return rc
 
 
+def cmd_continent(args) -> int:
+    import numpy as np
+
+    from deepbedmap_tpu.api import DeepBedMap
+    from deepbedmap_tpu.config import GeneratorConfig
+
+    cfg = GeneratorConfig(num_residual_blocks=args.blocks)
+    if args.checkpoint:
+        dbm = DeepBedMap.from_checkpoint(args.checkpoint, cfg)
+    elif args.npz:
+        dbm = DeepBedMap.from_chainer_npz(args.npz, cfg)
+    else:
+        _log("untrained generator (no --checkpoint/--npz)")
+        dbm = DeepBedMap(cfg=cfg)
+
+    inputs = {
+        k: np.load(f"{args.inputs}/{k}.npy") for k in ("X", "W1", "W2", "W3")
+    }
+    bounds = tuple(float(v) for v in args.bounds.split(","))
+    mesh = None
+    if args.mesh_devices:
+        from deepbedmap_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_devices)
+    dbm.predict_continent(
+        inputs,
+        bounds,
+        outfilepath=args.out,
+        tile_out=args.tile_out,
+        halo_lr=args.halo_lr,
+        mesh=mesh,
+        stream_product=args.stream,
+    )
+    _emit(
+        {
+            "command": "continent",
+            "bounds": list(bounds),
+            "out": args.out + ".tif",
+            "sharded": mesh is not None,
+            "streamed": bool(args.stream),
+        }
+    )
+    return 0
+
+
 def cmd_serve(args) -> int:
     from deepbedmap_tpu.api import DeepBedMap
     from deepbedmap_tpu.config import GeneratorConfig
@@ -333,6 +378,21 @@ def build_parser() -> argparse.ArgumentParser:
     f = sub.add_parser("figures", help="regenerate the paper figure set")
     f.add_argument("-o", "--out", default="figures")
     f.set_defaults(fn=cmd_figures)
+
+    c = sub.add_parser(
+        "continent", help="whole-region band-streamed DEM -> GeoTIFF product"
+    )
+    c.add_argument("--inputs", required=True, help="dir with X/W1/W2/W3.npy (NCHW)")
+    c.add_argument("--bounds", required=True, help="xmin,ymin,xmax,ymax (EPSG:3031 m)")
+    c.add_argument("-o", "--out", required=True, help="output path (without .tif)")
+    c.add_argument("--checkpoint", default=None)
+    c.add_argument("--npz", default=None)
+    c.add_argument("--blocks", type=int, default=12)
+    c.add_argument("--tile-out", type=int, default=1000)
+    c.add_argument("--halo-lr", type=int, default=18)
+    c.add_argument("--mesh-devices", type=int, default=0, help="shard tiles over N devices")
+    c.add_argument("--stream", action="store_true", help="pipe strips into the GeoTIFF (encode overlaps compute)")
+    c.set_defaults(fn=cmd_continent)
 
     s = sub.add_parser("serve", help="HTTP inference service (see serve.py)")
     s.add_argument("--checkpoint", default=None)

@@ -104,3 +104,35 @@ def test_cli_train_and_evaluate(capsys, tmp_path):
     rc, res = run_cli(capsys, ["evaluate", "--dem", dem_path, "--track", track])
     assert rc == 0
     assert res["rmse_m"] < 1e-3  # exact self-samples
+
+
+def test_cli_continent_streamed(capsys, tmp_path):
+    """continent subcommand: tiny region, streamed GeoTIFF product."""
+    rs = np.random.RandomState(0)
+    lh, lw = 16, 24  # 64x96 output at tile 32
+    inputs_dir = tmp_path / "inputs"
+    inputs_dir.mkdir()
+    np.save(inputs_dir / "X.npy", rs.rand(1, 1, lh, lw).astype(np.float32))
+    np.save(inputs_dir / "W1.npy", rs.rand(1, 1, 10 * lh, 10 * lw).astype(np.float32))
+    np.save(inputs_dir / "W2.npy", rs.rand(1, 2, 2 * lh, 2 * lw).astype(np.float32))
+    np.save(inputs_dir / "W3.npy", rs.rand(1, 1, lh, lw).astype(np.float32))
+    out = str(tmp_path / "dem")
+    rc, res = run_cli(
+        capsys,
+        [
+            "continent",
+            "--inputs", str(inputs_dir),
+            "--bounds", "0,0,24000,16000",
+            "-o", out,
+            "--blocks", "1",
+            "--tile-out", "32",
+            "--halo-lr", "2",
+            "--stream",
+        ],
+    )
+    assert rc == 0 and res["streamed"]
+    from deepbedmap_tpu.data.geotiff import read_geotiff
+
+    arr, meta = read_geotiff(out + ".tif")
+    assert arr.shape == (64, 96)
+    assert meta["res"] == 250.0 and meta["crs_epsg"] == 3031
