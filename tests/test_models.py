@@ -140,3 +140,24 @@ def test_bf16_forward_drift_is_bounded(rng):
     out16p = np.asarray(model16.apply({"params": p16}, *args), np.float64)
     rel_p = np.abs(out16p - out32).max() / scale
     assert rel_p < 3e-2, rel_p
+
+
+def test_summary_and_dot(tmp_path):
+    """Model introspection (reference dumps the Chainer graph to .dot and
+    asserts the file exists, srgan_train.py:1340-1346): the summary total
+    must equal the exact reference parameter count and the DOT render must
+    be writable, non-trivial graphviz."""
+    from deepbedmap_tpu.models import build_generator, param_table, summary, to_dot
+
+    _, params = build_generator(GeneratorConfig(), lr=11)
+    rows = param_table(params)
+    assert sum(r[2] for r in rows) == 8_907_749
+    text = summary(params, title="generator")
+    assert "8,907,749 parameters" in text
+
+    dot = to_dot(params, title="generator")
+    assert dot.startswith('digraph "generator" {') and dot.endswith("}")
+    assert dot.count("[label=") == len(rows)
+    path = tmp_path / "generator.dot"
+    path.write_text(dot)
+    assert path.exists() and path.stat().st_size > 1000
