@@ -136,3 +136,19 @@ def test_cli_continent_streamed(capsys, tmp_path):
     arr, meta = read_geotiff(out + ".tif")
     assert arr.shape == (64, 96)
     assert meta["res"] == 250.0 and meta["crs_epsg"] == 3031
+
+
+@pytest.mark.slow
+def test_cli_hpo_tiny(capsys, tmp_path):
+    """hpo subcommand end-to-end: 2 trials over the tiny space with sqlite
+    storage and the reference hyperband pruner config."""
+    db = f"sqlite:///{tmp_path}/hpo.db"
+    rc, res = run_cli(
+        capsys,
+        ["hpo", "--trials", "2", "--tiny", "--synthetic-tiles", "8",
+         "--storage", db, "--seed", "1"],
+    )
+    assert rc == 0
+    assert res["trials"] == 2
+    assert np.isfinite(res["best_value"])
+    assert (tmp_path / "hpo.db").exists()
