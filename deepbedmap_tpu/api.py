@@ -62,19 +62,23 @@ class DeepBedMap:
         ``use_ema``: prefer the EMA weights when the run kept them
         (TrainConfig.ema_decay > 0) — the lower-variance inference choice."""
         from deepbedmap_tpu.config import TrainConfig
-        from deepbedmap_tpu.train.checkpoint import restore_checkpoint
+        from deepbedmap_tpu.train.checkpoint import (
+            checkpoint_has_ema,
+            restore_checkpoint,
+        )
         from deepbedmap_tpu.train.state import create_gan_state
 
         if not os.path.exists(path):
             raise FileNotFoundError(f"no checkpoint at {path}")
-        template = create_gan_state(cfg, t_cfg=TrainConfig(ema_decay=1.0))
-        try:
-            state = restore_checkpoint(path, template)
-        except Exception:
-            # template/tree mismatch: retry for checkpoints written without
-            # an EMA tree (ema_decay=0 runs); genuine corruption raises here
-            # too with the restore error intact
-            state = restore_checkpoint(path, create_gan_state(cfg))
+        # pick the template matching the checkpoint's saved tree (EMA or not)
+        # from the Orbax metadata, so a restore failure is a genuine failure
+        # and ema_decay=0 checkpoints never pay a doomed first attempt
+        template = (
+            create_gan_state(cfg, t_cfg=TrainConfig(ema_decay=1.0))
+            if checkpoint_has_ema(path)
+            else create_gan_state(cfg)
+        )
+        state = restore_checkpoint(path, template)
         params = (
             state.g_ema
             if use_ema and getattr(state, "g_ema", None) is not None
@@ -104,6 +108,7 @@ class DeepBedMap:
         experiment_key: str = "latest",
         download_path: str = "model/weights/srgan_generator_model_weights.npz",
         api_key: Optional[str] = None,
+        asset_name: str = "srgan_generator_model_weights.npz",
     ):
         """Fetch trained weights by experiment key from a tracker — the
         reference's Comet weight fetcher (_download_model_weights_from_comet,
@@ -116,7 +121,7 @@ class DeepBedMap:
         hp = download_model_weights(
             source,
             experiment_key=experiment_key,
-            asset_name=os.path.basename(download_path),
+            asset_name=asset_name,
             download_path=download_path,
             api_key=api_key,
         )
@@ -193,7 +198,9 @@ class DeepBedMap:
         ``mesh``: shard each band's tiles over a jax Mesh (multi-chip).
         ``stream_product``: pipe strips straight into the GeoTIFF (encode
         overlaps compute; requires ``outfilepath``; returns None — the
-        canvas is never materialised)."""
+        canvas is never materialised). The two compose: mesh + stream_product
+        is the flagship production path — multi-chip tile sharding with the
+        GeoTIFF encode overlapped behind the mesh compute."""
         from deepbedmap_tpu.inference import (
             TilePlan,
             predict_continent,
@@ -214,7 +221,8 @@ class DeepBedMap:
         if stream_product:
             assert outfilepath is not None, "stream_product needs outfilepath"
             predict_continent_to_geotiff(
-                self.forward_fn(), host_inputs, plan, bounds, outfilepath
+                self.forward_fn(), host_inputs, plan, bounds, outfilepath,
+                mesh=mesh,
             )
             return None
         if mesh is not None:

@@ -133,24 +133,30 @@ def predict_continent(
     return canvas
 
 
-def predict_continent_sharded(
+def _make_sharded_band_strip(
     forward_fn: Callable[..., jax.Array],
-    inputs_host: Dict[str, np.ndarray],
     plan: TilePlan,
     mesh,
-    clip_conditioning: bool = True,
-    progress: Optional[Callable[[int, int], None]] = None,
-) -> np.ndarray:
-    """Band streaming x mesh-sharded tiles — the multi-chip production path:
-    each row band's inputs move to the mesh once (vertical halo = REAL
-    neighbour rows, so output matches the single-device paths), and the
-    band's tiles are predicted in parallel across the mesh
-    (parallel.sharded_predict_tiles with prepadded vertical halos +
-    edge-padded horizontal halos). Memory per chip stays one band; speed
-    scales with the mesh.
-    """
+    clip_conditioning: bool,
+) -> Callable[[Dict[str, np.ndarray], int], np.ndarray]:
+    """(inputs_host, band) -> (tile_out, out_w) strip, tiles sharded over the
+    mesh. Shared by the buffered (predict_continent_sharded) and streamed
+    (predict_continent_to_geotiff with mesh=) production paths so their band
+    geometry and numerics cannot diverge."""
     from deepbedmap_tpu.parallel.api import sharded_predict_tiles
 
+    # Scope: single-controller (single-host) meshes only. Both continent paths
+    # keep the full-region conditioning rasters host-side and feed whole bands
+    # to the mesh; on a multi-host pod every process would have to hold (and
+    # ship) every band — wasteful and incorrect for process-local data. The
+    # stated production target (v5e-8, one host) fits this; a pod-scale run
+    # needs per-host band distribution first.
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "mesh-sharded continent inference is single-host only: band "
+            "inputs are host-global numpy (see ARCHITECTURE.md, 'Multi-host "
+            "scope'); shard bands across hosts before calling"
+        )
     gy, gx = plan.grid
     # band-local plan: one row of the full grid
     band_plan = TilePlan(
@@ -162,8 +168,7 @@ def predict_continent_sharded(
     )
     hpad = {k: band_plan.pad_lr * r for k, r in INPUT_RATIOS.items()}
 
-    canvas = np.empty((plan.out_h, plan.out_w), np.float32)
-    for band in range(gy):
+    def band_strip(inputs_host: Dict[str, np.ndarray], band: int) -> np.ndarray:
         band_inputs = _band_inputs(inputs_host, plan, band)
         prepped = {}
         for key, ratio in INPUT_RATIOS.items():
@@ -181,10 +186,38 @@ def predict_continent_sharded(
             forward_fn, prepped, band_plan, mesh, prepadded=True
         )
         assert tiles.shape == (gx, plan.tile_out, plan.tile_out)
-        strip = np.asarray(tiles).transpose(1, 0, 2).reshape(
+        return np.asarray(tiles).transpose(1, 0, 2).reshape(
             plan.tile_out, plan.out_w
         )
-        canvas[band * plan.tile_out : (band + 1) * plan.tile_out] = strip
+
+    return band_strip
+
+
+def predict_continent_sharded(
+    forward_fn: Callable[..., jax.Array],
+    inputs_host: Dict[str, np.ndarray],
+    plan: TilePlan,
+    mesh,
+    clip_conditioning: bool = True,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> np.ndarray:
+    """Band streaming x mesh-sharded tiles — the multi-chip production path:
+    each row band's inputs move to the mesh once (vertical halo = REAL
+    neighbour rows, so output matches the single-device paths), and the
+    band's tiles are predicted in parallel across the mesh
+    (parallel.sharded_predict_tiles with prepadded vertical halos +
+    edge-padded horizontal halos). Memory per chip stays one band; speed
+    scales with the mesh.
+    """
+    gy, _ = plan.grid
+    band_strip = _make_sharded_band_strip(
+        forward_fn, plan, mesh, clip_conditioning
+    )
+    canvas = np.empty((plan.out_h, plan.out_w), np.float32)
+    for band in range(gy):
+        canvas[band * plan.tile_out : (band + 1) * plan.tile_out] = band_strip(
+            inputs_host, band
+        )
         if progress is not None:
             progress(band + 1, gy)
     return canvas
@@ -200,6 +233,7 @@ def predict_continent_to_geotiff(
     nodataval: float = -2000.0,
     compress: bool = True,
     progress: Optional[Callable[[int, int], None]] = None,
+    mesh=None,
 ) -> str:
     """Band-streamed inference piped straight into the int16 LZW GeoTIFF —
     a writer thread LZW-encodes and writes band strip i while the device
@@ -208,12 +242,28 @@ def predict_continent_to_geotiff(
     two strips instead of the full canvas, and the product is finished
     moments after the last band — the reference computes everything, then
     pays the full write afterwards (deepbedmap.py:744-756).
+
+    ``mesh``: shard each band's tiles over a jax Mesh — multi-chip compute
+    feeding the same overlapped strip writer (strips are numerically
+    identical to predict_continent_sharded's canvas rows).
     """
     import queue
     import threading
 
     gy, _ = plan.grid
-    band_predict = _make_band_predictor(forward_fn, plan, clip_conditioning)
+    if mesh is not None:
+        band_strip = _make_sharded_band_strip(
+            forward_fn, plan, mesh, clip_conditioning
+        )
+
+        def compute_strip(band: int) -> np.ndarray:
+            return band_strip(inputs_host, band)
+
+    else:
+        band_predict = _make_band_predictor(forward_fn, plan, clip_conditioning)
+
+        def compute_strip(band: int) -> np.ndarray:
+            return np.asarray(band_predict(_band_inputs(inputs_host, plan, band)))
 
     xmin, ymin, xmax, ymax = bounds
     from deepbedmap_tpu.data.geotiff import GeoTiffStripWriter
@@ -251,9 +301,7 @@ def predict_continent_to_geotiff(
 
     try:
         for band in range(gy):
-            strip = np.asarray(
-                band_predict(_band_inputs(inputs_host, plan, band))
-            )
+            strip = compute_strip(band)
             if error:
                 raise error[0]
             strips.put(strip)

@@ -49,6 +49,17 @@ def restore_checkpoint(path: str, template):
         return ckptr.restore(os.path.abspath(path), template)
 
 
+def checkpoint_has_ema(path: str) -> bool:
+    """Whether a saved GANState checkpoint carries an EMA tree — read from the
+    Orbax metadata (no array restore), so callers can build the matching
+    template instead of try/except-ing a doomed restore."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.metadata(os.path.abspath(path)).item_metadata.tree
+    return tree.get("g_ema") is not None
+
+
 # --------------------------------------------------------------------------
 # Chainer npz import
 # --------------------------------------------------------------------------
