@@ -24,6 +24,19 @@ Design notes:
   shipping them per-request would dwarf compute; deployments mount the data
   volume next to the server).
 
+Security model:
+- the server binds 127.0.0.1 by default; exposing it wider requires an
+  explicit host AND should set ``token`` (bearer auth on every endpoint but
+  /healthz);
+- every request path (rasters, dem, track, out) must resolve inside
+  ``data_root`` (default: the server's working directory) — requests cannot
+  probe or write arbitrary server files;
+- request bodies are capped at ``max_body_bytes``; predict windows are capped
+  at ``max_window_px`` output pixels per side. Note the jit cache is keyed on
+  window *shape*: each new shape pays a compile, so even with the cap a
+  hostile client can burn CPU on compiles — keep the service behind auth on
+  anything but loopback.
+
 Start from the CLI: ``python -m deepbedmap_tpu serve --checkpoint CKPT
 --port 8500`` — or in-process via ``make_server`` (used by the tests).
 """
@@ -31,6 +44,7 @@ Start from the CLI: ``python -m deepbedmap_tpu serve --checkpoint CKPT
 from __future__ import annotations
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -41,24 +55,51 @@ def make_server(
     host: str = "127.0.0.1",
     port: int = 0,
     raster_cache: Optional[dict] = None,
+    data_root: Optional[str] = None,
+    token: Optional[str] = None,
+    max_body_bytes: int = 1 << 20,
+    max_window_px: int = 8192,
+    cache_entries: int = 16,
 ) -> ThreadingHTTPServer:
     """Build (not start) a ThreadingHTTPServer serving ``dbm``.
 
     ``raster_cache``: optional {name: Raster} preloaded inputs; paths in
-    requests fall back to reading NetCDF from disk (cached thereafter).
+    requests fall back to reading NetCDF from disk (cached thereafter,
+    keyed on (path, mtime) and bounded to ``cache_entries`` rasters).
+    ``data_root``: directory request paths must resolve into (default cwd).
+    ``token``: if set, every endpoint except /healthz requires
+    ``Authorization: Bearer <token>``.
     """
     from deepbedmap_tpu.data.raster import read_netcdf, write_netcdf
 
-    cache = dict(raster_cache or {})
+    root = os.path.realpath(data_root or os.getcwd())
+    preloaded = dict(raster_cache or {})
+    cache: dict = {}  # (path, mtime) -> Raster, insertion-ordered
     cache_lock = threading.Lock()
 
+    def resolve(path: str) -> str:
+        """Confine a request path to data_root (realpath => symlink-safe)."""
+        real = os.path.realpath(os.path.join(root, path))
+        if os.path.commonpath([real, root]) != root:
+            raise PermissionError(f"path escapes data root: {path}")
+        return real
+
     def get_raster(path: str):
+        if path in preloaded:  # named preloads need no disk access
+            return preloaded[path]
+        real = resolve(path)
+        key = (real, os.stat(real).st_mtime_ns)
         with cache_lock:
-            if path in cache:
-                return cache[path]
-        raster = read_netcdf(path)
+            if key in cache:
+                return cache[key]
+        raster = read_netcdf(real)
         with cache_lock:
-            cache[path] = raster
+            # drop stale entries for the same path, then bound the cache
+            for k in [k for k in cache if k[0] == real]:
+                del cache[k]
+            while len(cache) >= cache_entries:
+                del cache[next(iter(cache))]
+            cache[key] = raster
         return raster
 
     class Handler(BaseHTTPRequestHandler):
@@ -75,7 +116,14 @@ def make_server(
 
         def _body(self):
             n = int(self.headers.get("Content-Length", 0))
+            if n > max_body_bytes:
+                raise ValueError(f"request body {n} B > {max_body_bytes} B cap")
             return json.loads(self.rfile.read(n)) if n else {}
+
+        def _authorized(self) -> bool:
+            if token is None:
+                return True
+            return self.headers.get("Authorization") == f"Bearer {token}"
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -93,31 +141,42 @@ def make_server(
 
         def do_POST(self):
             try:
+                if not self._authorized():
+                    return self._json({"error": "unauthorized"}, 401)
                 req = self._body()
                 if self.path == "/predict":
                     return self._predict(req)
                 if self.path == "/evaluate":
                     return self._evaluate(req)
                 self._json({"error": "not found"}, 404)
+            except PermissionError as e:
+                self._json({"error": f"{type(e).__name__}: {e}"}, 403)
             except Exception as e:  # surface the failure to the client
                 self._json({"error": f"{type(e).__name__}: {e}"}, 500)
 
         def _predict(self, req):
             bounds = tuple(float(v) for v in req["bounds"])
+            xmin, ymin, xmax, ymax = bounds
+            px = max(xmax - xmin, ymax - ymin) / dbm.resolution
+            if px > max_window_px:
+                raise ValueError(
+                    f"window {px:.0f} px exceeds max_window_px={max_window_px}"
+                )
             rasters = {k: get_raster(v) for k, v in req["rasters"].items()}
             dem = dbm.predict(bounds, rasters, padding=req.get("padding", 1000.0))
             out = req.get("out")
             result = {"shape": list(dem.data.shape), "bounds": list(bounds)}
             if out:
+                out_real = resolve(out)
                 if req.get("format") == "geotiff":
                     from deepbedmap_tpu.data import geotiff
 
                     geotiff.write_geotiff(
-                        out, dem.data, dem.left, dem.top, dem.res,
+                        out_real, dem.data, dem.left, dem.top, dem.res,
                         nodata=-2000.0, compress=True,
                     )
                 else:
-                    write_netcdf(dem, out)
+                    write_netcdf(dem, out_real)
                 result["out"] = out
             return self._json(result)
 
@@ -127,7 +186,7 @@ def make_server(
             from deepbedmap_tpu.evalx import track_rmse
 
             dem = get_raster(req["dem"])
-            track = pd.read_csv(req["track"])
+            track = pd.read_csv(resolve(req["track"]))
             rmse = track_rmse(
                 dem,
                 track.x.values,
@@ -140,7 +199,13 @@ def make_server(
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def serve_forever(dbm, host: str = "0.0.0.0", port: int = 8500) -> None:
-    server = make_server(dbm, host, port)
+def serve_forever(
+    dbm,
+    host: str = "127.0.0.1",
+    port: int = 8500,
+    data_root: Optional[str] = None,
+    token: Optional[str] = None,
+) -> None:
+    server = make_server(dbm, host, port, data_root=data_root, token=token)
     print(f"serving DeepBedMap on {host}:{server.server_port}", flush=True)
     server.serve_forever()

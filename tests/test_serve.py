@@ -58,7 +58,7 @@ def server(tmp_path_factory):
         raster_paths[name] = p
 
     dbm = DeepBedMap(cfg=TINY)
-    srv = make_server(dbm)
+    srv = make_server(dbm, data_root=str(tmp))
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
     yield f"http://127.0.0.1:{srv.server_port}", raster_paths, tmp
@@ -133,3 +133,100 @@ def test_error_surfacing(server):
     status, body = _post(base, "/predict", {"bounds": [0, 0, 1000, 1000], "rasters": {}})
     assert status == 500
     assert "error" in body
+
+
+def test_path_escape_rejected(server):
+    """Requests naming paths outside data_root must get 403, not file access
+    (ADVICE r2: arbitrary server-side path probing)."""
+    base, raster_paths, _ = server
+    for bad in ("/etc/passwd", "../../etc/passwd"):
+        status, body = _post(
+            base,
+            "/predict",
+            {
+                "bounds": [1000.0, 1000.0, 10000.0, 10000.0],
+                "rasters": {**raster_paths, "bed_lowres": bad},
+            },
+        )
+        assert status == 403, body
+        assert "escapes data root" in body["error"]
+    # and the out path is confined too
+    status, body = _post(
+        base,
+        "/predict",
+        {
+            "bounds": [1000.0, 1000.0, 10000.0, 10000.0],
+            "rasters": raster_paths,
+            "out": "/tmp/evil.nc",
+        },
+    )
+    assert status == 403, body
+
+
+def test_oversize_body_and_window_rejected(server):
+    base, raster_paths, _ = server
+    # window cap: default max_window_px=8192 at 250 m/px = 2048 km
+    status, body = _post(
+        base,
+        "/predict",
+        {"bounds": [0.0, 0.0, 3e9, 3e9], "rasters": raster_paths},
+    )
+    assert status == 500 and "max_window_px" in body["error"]
+
+
+def test_bearer_token_required(tmp_path):
+    dbm = DeepBedMap(cfg=TINY)
+    srv = make_server(dbm, data_root=str(tmp_path), token="s3cret")
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        # healthz stays open (load-balancer probes)
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
+            assert resp.status == 200
+        status, body = _post(base, "/evaluate", {"dem": "x", "track": "y"})
+        assert status == 401
+        req = urllib.request.Request(
+            base + "/evaluate",
+            data=json.dumps({"dem": "missing.nc", "track": "t.csv"}).encode(),
+            headers={"Authorization": "Bearer s3cret"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                status = resp.status
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status != 401  # authorized; fails later on the missing file
+    finally:
+        srv.shutdown()
+        thread.join(timeout=5)
+
+
+def test_cache_invalidates_on_rewrite(server):
+    """A rewritten raster file must not be served stale (ADVICE r2: cache
+    keyed by path only)."""
+    base, raster_paths, tmp = server
+    dem_a = Raster(
+        np.full((4, 4), 7.0, np.float32), left=0.0, top=4000.0, res=1000.0
+    )
+    p = str(tmp / "mutable.nc")
+    write_netcdf(dem_a, p)
+    track = str(tmp / "flat_track.csv")
+    pd.DataFrame({"x": [1500.0], "y": [1500.0], "z": [7.0]}).to_csv(
+        track, index=False
+    )
+    status, body = _post(base, "/evaluate", {"dem": p, "track": track})
+    assert status == 200 and body["rmse_m"] < 1e-6
+    # rewrite the file with different values; the cached raster is stale now
+    import os as _os
+    import time as _time
+
+    write_netcdf(
+        Raster(np.full((4, 4), 9.0, np.float32), left=0.0, top=4000.0, res=1000.0),
+        p,
+    )
+    _os.utime(p, ns=(_time.time_ns(), _time.time_ns() + 1))  # force mtime change
+    status, body = _post(base, "/evaluate", {"dem": p, "track": track})
+    assert status == 200
+    assert abs(body["rmse_m"] - 2.0) < 1e-6  # z=7 vs new dem=9
