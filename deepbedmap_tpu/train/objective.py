@@ -30,7 +30,7 @@ from deepbedmap_tpu.config import (
 from deepbedmap_tpu.data.dataset import TileDataset, epoch_batches, train_dev_split
 from deepbedmap_tpu.hpo import Trial, TrialPruned
 from deepbedmap_tpu.models import Discriminator, Generator
-from deepbedmap_tpu.train.checkpoint import save_checkpoint
+from deepbedmap_tpu.train.checkpoint import export_generator_npz, save_checkpoint
 from deepbedmap_tpu.train.loop import _metrics_to_host, make_epoch_fns
 from deepbedmap_tpu.train.state import create_gan_state
 
@@ -58,12 +58,23 @@ def objective(
     rmse_save_threshold: float = 250.0,
     log: Optional[Callable[[int, Dict], None]] = None,
     suggest=suggest_reference_space,
+    tracker=None,  # utils.tracking.Tracker
+    rmse_upload_threshold: float = 500.0,
 ) -> float:
     """Train one trial; returns the best test RMSE (minimised).
 
     ``evaluate_rmse(g_params) -> float`` supplies the fixed-test-area RMSE
     (reference get_deepbedmap_test_result); when None, the dev-set generator
-    loss stands in so the objective works on synthetic data.
+    loss stands in so the objective works on synthetic data. NOTE the
+    stand-in is a loss, not metres — wire a real evaluator for true RMSE.
+
+    ``tracker`` closes the reference's Comet loop (srgan_train.py:1575-1688):
+    hyperparameters logged up front, the full metric record per epoch, the
+    generator weights exported to the reference npz layout whenever test RMSE
+    improves (< ``rmse_save_threshold``), and — when the trial ends (final
+    epoch or pruning) with best RMSE < ``rmse_upload_threshold`` — the npz
+    asset plus the model-architecture graph uploaded, so
+    ``DeepBedMap.from_experiment`` can rebuild the trained model by key.
     """
     hp = suggest(trial)
     batch_size = 2 ** hp["batch_size_exponent"]
@@ -80,6 +91,23 @@ def objective(
     d_model = Discriminator(DiscriminatorConfig())
     state = create_gan_state(g_cfg, t_cfg=t_cfg)
 
+    if tracker is not None:
+        # the reference's logged parameter dict (srgan_train.py:1575-1590)
+        tracker.log_params(
+            {
+                "num_residual_blocks": g_cfg.num_residual_blocks,
+                "residual_scaling": g_cfg.residual_scaling,
+                "generator_optimizer": "adam",
+                "generator_lr": t_cfg.learning_rate,
+                "generator_epsilon": t_cfg.adam_eps,
+                "discriminator_optimizer": "adam",
+                "discriminator_lr": t_cfg.learning_rate,
+                "discriminator_adam_epsilon": t_cfg.adam_eps,
+                "num_epochs": hp["num_epochs"],
+                "batch_size": t_cfg.batch_size,
+            }
+        )
+
     train_idx, dev_idx = train_dev_split(
         len(dataset), t_cfg.train_fraction, t_cfg.split_seed
     )
@@ -91,6 +119,14 @@ def objective(
     dev_batches = jnp.asarray(
         epoch_batches(dev_idx, dev_bs, np.random.RandomState(t_cfg.split_seed))
     )
+
+    # staging dir for the best-weights npz the tracker uploads at trial end
+    if checkpoint_dir is not None:
+        weights_dir = os.path.join(checkpoint_dir, f"trial_{trial.number}_weights")
+    else:
+        import tempfile
+
+        weights_dir = tempfile.mkdtemp(prefix=f"dbm_trial_{trial.number}_")
 
     best_rmse = math.inf
     for epoch in range(hp["num_epochs"]):
@@ -109,6 +145,8 @@ def objective(
         record["rmse_test"] = rmse_test
         if log is not None:
             log(epoch, record)
+        if tracker is not None:
+            tracker.log_metrics(record, step=epoch)
 
         # divergence detection (srgan_train.py:1698-1706)
         if (
@@ -116,6 +154,8 @@ def objective(
             or math.isnan(record["discriminator_loss"])
             or record["generator_psnr"] <= 0
         ):
+            _finish_trial(tracker, trial, g_model, state, best_rmse,
+                          rmse_upload_threshold, weights_dir)
             raise TrialPruned()
 
         if rmse_test < best_rmse:
@@ -124,9 +164,40 @@ def objective(
                 save_checkpoint(
                     state, os.path.join(checkpoint_dir, f"trial_{trial.number}")
                 )
+            if tracker is not None and rmse_test < rmse_save_threshold:
+                # reference save_model_weights_and_architecture on improve
+                # (srgan_train.py:1659-1669): reference-layout npz, staged
+                # for upload at trial end
+                os.makedirs(weights_dir, exist_ok=True)
+                export_generator_npz(
+                    state.g_params,
+                    os.path.join(
+                        weights_dir, "srgan_generator_model_weights.npz"
+                    ),
+                )
 
         trial.report(rmse_test, epoch)
-        if trial.should_prune():
-            raise TrialPruned()
+        last_epoch = epoch == hp["num_epochs"] - 1
+        if trial.should_prune() or last_epoch:
+            _finish_trial(tracker, trial, g_model, state, best_rmse,
+                          rmse_upload_threshold, weights_dir)
+            if not last_epoch:
+                raise TrialPruned()
 
     return best_rmse
+
+
+def _finish_trial(
+    tracker, trial, g_model, state, best_rmse, rmse_upload_threshold, weights_dir
+) -> None:
+    """End-of-trial asset upload (reference srgan_train.py:1673-1688): if the
+    trial ever beat ``rmse_upload_threshold``, upload the staged best-weights
+    npz and set the model-architecture graph on the experiment."""
+    if tracker is None or best_rmse >= rmse_upload_threshold:
+        return
+    npz = os.path.join(weights_dir, "srgan_generator_model_weights.npz")
+    if os.path.exists(npz):
+        tracker.log_asset(npz)
+        from deepbedmap_tpu.models.summary import to_dot
+
+        tracker.set_model_graph(to_dot(state.g_params, title="generator"))

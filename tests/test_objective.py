@@ -37,6 +37,57 @@ def test_objective_runs_and_checkpoints(tmp_path):
     assert (tmp_path / "trial_0").exists()
 
 
+def test_objective_tracker_roundtrip(tmp_path):
+    """HPO -> tracker -> DeepBedMap.from_experiment closes the reference's
+    Comet loop (srgan_train.py:1575-1688 + deepbedmap.py:381-410): params +
+    per-epoch metrics logged, best weights uploaded as the reference-named
+    npz, model graph set, and the trained generator rebuilt by key."""
+    import jax.numpy as jnp
+
+    from deepbedmap_tpu.api import DeepBedMap
+    from deepbedmap_tpu.utils.tracking import LocalTracker
+
+    dataset = TileDataset.synthetic(8, seed=0)
+    study = create_study(direction="minimize", sampler_seed=0, pruner="none")
+    root = str(tmp_path / "experiments")
+    tracker = LocalTracker(root)
+
+    value = objective(
+        study.ask(),
+        dataset,
+        suggest=tiny_space,
+        tracker=tracker,
+        rmse_save_threshold=float("inf"),
+        rmse_upload_threshold=float("inf"),
+    )
+    tracker.end()
+
+    # the experiment carries everything from_experiment needs
+    assert tracker.params()["num_residual_blocks"] == 1
+    assert "residual_scaling" in tracker.params()
+    assert len(tracker.metrics()) == 2  # one record per epoch
+    assert "rmse_test" in tracker.metrics()[0]["metrics"]
+    assert "srgan_generator_model_weights.npz" in tracker.asset_list()
+    import os
+
+    assert os.path.exists(os.path.join(tracker.dir, "graph.txt"))
+
+    dbm = DeepBedMap.from_experiment(
+        root,
+        "latest",
+        download_path=str(tmp_path / "fetched" / "weights.npz"),
+    )
+    assert dbm.cfg.num_residual_blocks == 1
+    assert abs(dbm.cfg.residual_scaling - tracker.params()["residual_scaling"]) < 1e-9
+    x = jnp.zeros((1, 4, 4, 1))
+    out = dbm.forward_fn()(
+        x, jnp.zeros((1, 40, 40, 1)), jnp.zeros((1, 8, 8, 2)), jnp.zeros((1, 4, 4, 1))
+    )
+    assert out.shape == (1, 8, 8, 1)  # (4-2)*4: valid conv then 4x upsample
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(value)
+
+
 @pytest.mark.slow
 def test_study_over_objective():
     dataset = TileDataset.synthetic(8, seed=0)
