@@ -152,3 +152,71 @@ def test_cli_hpo_tiny(capsys, tmp_path):
     assert res["trials"] == 2
     assert np.isfinite(res["best_value"])
     assert (tmp_path / "hpo.db").exists()
+
+
+def test_cli_verify_weights_rehearsal(capsys, tmp_path):
+    """Full dress rehearsal of the real-weight parity harness on a synthetic
+    artifact: a model's weights exported to the reference Chainer npz layout
+    play the role of the released artifact, the INDEPENDENT torch oracle
+    (tests/test_torch_parity.py) produces the 'reference output grid', and
+    the one-command CLI must import the npz, reproduce that grid, and pass.
+    The day a real artifact is mounted, the same command proves parity
+    (ref srgan_train.py:506-523, deepbedmap.py:381-447)."""
+    torch = pytest.importorskip("torch")
+    from tests.test_torch_parity import _t, torch_generator_forward
+
+    from deepbedmap_tpu.config import GeneratorConfig
+    from deepbedmap_tpu.models import build_generator
+    from deepbedmap_tpu.train.checkpoint import export_generator_npz
+
+    cfg = GeneratorConfig(num_residual_blocks=2)
+    model, params = build_generator(cfg)
+    npz = str(tmp_path / "srgan_generator_model_weights.npz")
+    export_generator_npz(params, npz)
+
+    rs = np.random.RandomState(7)
+    arrays = str(tmp_path / "arrays")
+    os.makedirs(arrays)
+    inputs = {
+        "X": rs.rand(1, 1, 11, 11).astype(np.float32),
+        "W1": rs.rand(1, 1, 110, 110).astype(np.float32),
+        "W2": rs.rand(1, 2, 22, 22).astype(np.float32),
+        "W3": rs.rand(1, 1, 11, 11).astype(np.float32),
+    }
+    for k, v in inputs.items():
+        np.save(f"{arrays}/{k}.npy", v)
+
+    g = {k: np.asarray(v) for k, v in np.load(npz).items()}
+    with torch.no_grad():
+        expected = torch_generator_forward(
+            g, *(_t(inputs[k]) for k in ("X", "W1", "W2", "W3")),
+            cfg.num_residual_blocks, cfg.residual_scaling,
+        ).numpy()[0, 0]
+    np.save(str(tmp_path / "expected.npy"), expected)
+
+    rc, res = run_cli(
+        capsys,
+        ["verify-weights", "--npz", npz, "--inputs", arrays,
+         "--expected", str(tmp_path / "expected.npy"),
+         "--blocks", "2", "--atol", "1e-5"],
+    )
+    assert rc == 0 and res["pass"] is True
+    assert res["max_abs_err"] < 1e-5
+    assert res["pixels_compared"] == 36 * 36
+
+    # a corrupted artifact must FAIL loudly, not pass vacuously (the final
+    # deform-conv bias adds straight into the output, so +1e-3 must show;
+    # an untrained generator's outputs are ~1e-7, hence the tiny atol above)
+    bad = {k: v.copy() for k, v in g.items()}
+    bad["final_conv_layer2/deform_conv/b"] = (
+        bad["final_conv_layer2/deform_conv/b"] + 1e-3
+    )
+    badpath = str(tmp_path / "bad.npz")
+    np.savez(badpath, **bad)
+    rc2, res2 = run_cli(
+        capsys,
+        ["verify-weights", "--npz", badpath, "--inputs", arrays,
+         "--expected", str(tmp_path / "expected.npy"),
+         "--blocks", "2", "--atol", "1e-5"],
+    )
+    assert rc2 == 1 and res2["pass"] is False
