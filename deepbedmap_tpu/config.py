@@ -44,6 +44,10 @@ class GeneratorConfig:
     # body): trades ~1 extra trunk forward for O(depth) less activation
     # memory — lets training batches grow well past the reference's 128.
     remat: bool = False
+    # Fused dense-block Pallas kernel on TPU inference-scale images
+    # (ops.pallas_rdb): 'auto' dispatches by backend/shape, 'never'/'always'
+    # force the XLA composition or the fused kernel.
+    fused_rdb: str = "auto"
     # Deformable-conv offset clamp in px (masked-shift span). Chainer's
     # sampler is unbounded; learned offsets stay well inside +/-1 px, so
     # clamp=1 halves the sampler cost with identical outputs on trained

@@ -39,6 +39,7 @@ class _RRDBStep(nn.Module):
     residual_scaling: float
     init_scale: float
     dtype: Any = None
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, carry, _):
@@ -48,6 +49,7 @@ class _RRDBStep(nn.Module):
             self.residual_scaling,
             self.init_scale,
             self.dtype,
+            fused=self.fused,
             name="block",
         )(carry)
         return out, None
@@ -96,6 +98,7 @@ class Generator(nn.Module):
             cfg.residual_scaling,
             cfg.init_scale,
             dtype,
+            cfg.fused_rdb,
             name="residual_network",
         )
         a2, _ = trunk(a1, None)

@@ -1,0 +1,326 @@
+"""Fused residual-dense-block (RDB) Pallas kernel — the trunk speed lever.
+
+The generator trunk (12 RRDBs x 3 RDBs, reference srgan_train.py:275-404) is
+67 ms of the 140 ms continent-tile forward under XLA, ~4x off the MXU
+roofline. The cause is structural: every dense-block conv emits only
+growth=32 channels, so XLA's conv kernels run N=32-wide matmuls against a
+128-lane MXU — a 25% utilisation ceiling no fusion fixes.
+
+This kernel restructures the dense block around *source-major* matmuls:
+the moment an activation exists, its contributions to ALL later convs are
+computed in one wide matmul (dense connectivity means conv_j's input is the
+concat of every earlier activation, so W_j splits by source):
+
+    x   -> [c1|c2|c3|c4|c5] blocks : N = 192
+    a1  -> [c2|c3|c4|c5]           : N = 160
+    a2  -> [c3|c4|c5]              : N = 128
+    a3  -> [c4|c5]                 : N = 96
+    a4  -> [c5]                    : N = 64
+
+Layout: the (H, W, C) image is flattened to (H*Wp, C) with one zero pad
+column each side (Wp = W + 2), so all nine 3x3 taps become row offsets
+{dy*Wp + dx}. Column taps (dx = ±1) are folded into the K dimension by
+lane-concatenating sublane-rolls of the source (S3 = [roll(+1)|s|roll(-1)],
+K = 3*C_s); row taps (dy = ±1) are Wp-aligned sublane slices of the dot
+result, accumulated shifted. Everything for a row band lives in VMEM; HBM
+sees x once in and the block output once out.
+
+SAME-conv zero padding is enforced by masking each activation to zero on
+pad columns / out-of-image rows, which also absorbs the rolls' circular
+wrap (contaminated entries land only on masked margin rows — see the
+margin arithmetic in `_rdb_kernel`).
+
+Numerics: fp32 accumulation, identical decomposition to the XLA path up to
+dot-order rounding (parity-tested in tests/test_pallas_rdb.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# margin rows consumed per side by the five chained 3x3 convs
+_MARGIN = 5
+
+
+def _pack_weights(kernels: Sequence[jax.Array], features: int, growth: int):
+    """Per-source, per-dy weight matrices from the five HWIO conv kernels.
+
+    Source channel ranges in the dense concat: x 0:F, a1 F:F+G, ... For
+    source s the matrix W_s[dy] is (3*C_s, N_s): rows are [dx=-1|dx=0|dx=+1]
+    blocks of C_s channels, columns the concatenation of every later conv's
+    outputs."""
+    starts = [0, features, features + growth, features + 2 * growth,
+              features + 3 * growth]
+    widths = [features, growth, growth, growth, growth]
+    packed = []
+    for s in range(5):
+        c0, cw = starts[s], widths[s]
+        per_dy = []
+        for dy in range(3):
+            blocks = []
+            for dx in range(3):
+                cols = []
+                for j in range(s, 5):  # convs that consume source s
+                    k = kernels[j]  # (3, 3, C_in_j, C_out_j)
+                    cols.append(k[dy, dx, c0 : c0 + cw, :])
+                blocks.append(jnp.concatenate(cols, axis=-1))  # (C_s, N_s)
+            per_dy.append(jnp.concatenate(blocks, axis=0))  # (3*C_s, N_s)
+        packed.append(jnp.stack(per_dy))  # (3, 3*C_s, N_s)
+    return packed
+
+
+def _rdb_kernel(
+    x_ref,  # (1, E, F) VMEM — band rows, flattened (rows*Wp, F), with margins
+    wx_ref,  # (3, 3F, F+4G)
+    w1_ref,  # (3, 3G, F+3G)
+    w2_ref,  # (3, 3G, F+2G)
+    w3_ref,  # (3, 3G, F+G)
+    w4_ref,  # (3, 3G, F)
+    b_ref,  # (1, F+4G) — [b1|b2|b3|b4|b5]
+    out_ref,  # (1, B*Wp, F)
+    accx_ref,  # (E, F+4G) scratch
+    acc1_ref,  # (E, F+3G) scratch
+    acc2_ref,  # (E, F+2G) scratch
+    acc3_ref,  # (E, F+G) scratch
+    *,
+    band: int,  # B: output image rows per band
+    wp: int,  # padded row pitch (W + 2), multiple of 8
+    height: int,  # true image rows H
+    width: int,  # true image cols W
+    features: int,
+    growth: int,
+    scaling: float,
+):
+    F, G = features, growth
+    E = x_ref.shape[1]
+    pid = pl.program_id(0)
+
+    # validity mask: zero on pad columns and out-of-image rows (this IS the
+    # SAME-conv zero padding for every intermediate activation, and it
+    # absorbs the circular wrap of the sublane rolls below)
+    flat = jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0)
+    row_g = pid * band - _MARGIN + flat // wp
+    col = flat % wp
+    mask = (
+        (row_g >= 0) & (row_g < height) & (col >= 1) & (col <= width)
+    ).astype(jnp.float32)
+
+    def s3(a):  # (E, C) -> (E, 3C): [a[m-1] | a[m] | a[m+1]] in lanes
+        # pltpu.roll requires non-negative shifts; roll by E-1 == roll by -1
+        return jnp.concatenate(
+            [pltpu.roll(a, 1, 0), a, pltpu.roll(a, E - 1, 0)], axis=1
+        )
+
+    def accumulate(acc_ref, src3, w_ref_):
+        """acc[m] (+)= sum_dy src3[m + dy*wp] @ W[dy] over the full band
+        extent; dy=0 assigns (no scratch zeroing), dy=+-1 add over their
+        valid Wp-aligned ranges (rows missing a term are masked margins).
+
+        Measured dead ends (2026-08-17, one v5e): (a) assembling the three
+        dy terms as one SSA expression + single write ties at runtime
+        (43.3 vs 43.6 ms/trunk) but compiles 8x slower (11 min vs 1.5);
+        (b) restricting each source's dots to its consumers' margin-shrunk
+        extent (~10% fewer FLOPs on paper) crashes the Mosaic compiler at
+        every band size tried; (c) band >= 48 exceeds VMEM (compiler
+        subprocess OOM). band=32 is the sweet spot."""
+        acc_ref[...] = jnp.dot(
+            src3, w_ref_[1], preferred_element_type=jnp.float32
+        )
+        p = jnp.dot(src3, w_ref_[0], preferred_element_type=jnp.float32)
+        acc_ref[wp:, :] += p[: E - wp]
+        p = jnp.dot(src3, w_ref_[2], preferred_element_type=jnp.float32)
+        acc_ref[: E - wp, :] += p[wp:]
+
+    x = x_ref[0]
+    accumulate(accx_ref, s3(x), wx_ref)
+
+    # jnp.where (not multiply): margin rows outside a source's written
+    # extent are uninitialised scratch; every consumed such row is masked,
+    # and where() suppresses even NaN garbage there
+    z1 = accx_ref[:, 0:G] + b_ref[0, 0:G]
+    a1 = jnp.where(mask > 0, jnp.where(z1 >= 0, z1, 0.2 * z1), 0.0)
+    accumulate(acc1_ref, s3(a1), w1_ref)
+
+    z2 = accx_ref[:, G : 2 * G] + acc1_ref[:, 0:G] + b_ref[0, G : 2 * G]
+    a2 = jnp.where(mask > 0, jnp.where(z2 >= 0, z2, 0.2 * z2), 0.0)
+    accumulate(acc2_ref, s3(a2), w2_ref)
+
+    z3 = (
+        accx_ref[:, 2 * G : 3 * G]
+        + acc1_ref[:, G : 2 * G]
+        + acc2_ref[:, 0:G]
+        + b_ref[0, 2 * G : 3 * G]
+    )
+    a3 = jnp.where(mask > 0, jnp.where(z3 >= 0, z3, 0.2 * z3), 0.0)
+    accumulate(acc3_ref, s3(a3), w3_ref)
+
+    z4 = (
+        accx_ref[:, 3 * G : 4 * G]
+        + acc1_ref[:, 2 * G : 3 * G]
+        + acc2_ref[:, G : 2 * G]
+        + acc3_ref[:, 0:G]
+        + b_ref[0, 3 * G : 4 * G]
+    )
+    a4 = jnp.where(mask > 0, jnp.where(z4 >= 0, z4, 0.2 * z4), 0.0)
+
+    # conv5 (no activation): gather every source's c5 block + a4's dots,
+    # assembled directly on the output rows
+    s3a4 = s3(a4)
+    lo = _MARGIN * wp
+    hi = lo + band * wp
+    a5 = (
+        accx_ref[lo:hi, 4 * G :]
+        + acc1_ref[lo:hi, 3 * G :]
+        + acc2_ref[lo:hi, 2 * G :]
+        + acc3_ref[lo:hi, G:]
+        + b_ref[0, 4 * G :]
+    )
+    a5 = a5 + jnp.dot(
+        s3a4[lo:hi], w4_ref[1], preferred_element_type=jnp.float32
+    )
+    a5 = a5 + jnp.dot(
+        s3a4[lo - wp : hi - wp], w4_ref[0], preferred_element_type=jnp.float32
+    )
+    a5 = a5 + jnp.dot(
+        s3a4[lo + wp : hi + wp], w4_ref[2], preferred_element_type=jnp.float32
+    )
+
+    out_ref[0] = x[lo:hi] + scaling * a5
+
+
+def rdb_reference(x, kernels, biases, scaling):
+    """The plain XLA dense block (identical math; the fused kernel's oracle
+    and its backward pass)."""
+    acts = [x]
+    for j in range(5):
+        z = jax.lax.conv_general_dilated(
+            jnp.concatenate(acts, -1), kernels[j], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + biases[j]
+        if j < 4:
+            acts.append(jnp.where(z >= 0, z, 0.2 * z))
+    return x + scaling * z
+
+
+def should_fuse(shape, w_pitch_ok=None) -> bool:
+    """Dispatch rule: the fused kernel wins on large (inference-scale) TPU
+    images; training tiles and CPU stay on XLA (mirrors ops.deform_conv's
+    auto policy)."""
+    n, h, w, _ = shape
+    if jax.default_backend() != "tpu":
+        return False
+    if (w + 2) % 8 != 0:
+        return False
+    return h * w >= 256 * 256
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def rdb_fused(x, kernels, biases, scaling, band=32):
+    return rdb_pallas(x, kernels, biases, scaling, band=band)
+
+
+def _rdb_fused_fwd(x, kernels, biases, scaling, band):
+    return rdb_pallas(x, kernels, biases, scaling, band=band), (
+        x, tuple(kernels), tuple(biases),
+    )
+
+
+def _rdb_fused_bwd(scaling, band, res, g):
+    # backward = autodiff of the identical XLA composition (training runs the
+    # XLA path anyway — small tiles — but grads must exist under jit)
+    x, kernels, biases, = res
+    _, vjp = jax.vjp(
+        lambda x_, k_, b_: rdb_reference(x_, k_, b_, scaling),
+        x, list(kernels), list(biases),
+    )
+    return vjp(g)
+
+
+rdb_fused.defvjp(_rdb_fused_fwd, _rdb_fused_bwd)
+
+
+def rdb_pallas(
+    x: jax.Array,  # (N, H, W, F) fp32
+    kernels: Sequence[jax.Array],  # five (3, 3, C_in_j, C_out_j) HWIO
+    biases: Sequence[jax.Array],  # five (C_out_j,)
+    scaling: float,
+    band: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused dense block: out = x + scaling * conv5(dense(x)). Requires
+    (W + 2) % 8 == 0 (the flattened row pitch must be sublane-aligned so the
+    dy row taps are aligned slices); callers dispatch to the XLA path
+    otherwise (ops via models.blocks)."""
+    n, h, w, f = x.shape
+    g = kernels[0].shape[-1]
+    wp = w + 2
+    assert wp % 8 == 0, f"W+2 must be a multiple of 8, got {w}"
+    assert kernels[4].shape[-1] == f
+    # off-TPU (tests, CPU debugging) the kernel runs interpreted, like the
+    # deform-conv kernels (ops.pallas_kernels)
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    n_bands = -(-h // band)
+    hp = n_bands * band
+    e = (band + 2 * _MARGIN) * wp
+
+    packed = _pack_weights(kernels, f, g)
+    b_all = jnp.concatenate(biases)[None, :]
+
+    def one(img):  # (H, W, F) -> (H, W, F)
+        flat = jnp.pad(
+            img, ((_MARGIN, hp - h + _MARGIN), (1, 1), (0, 0))
+        ).reshape(-1, f)
+
+        def grab(i):
+            return jax.lax.dynamic_slice(
+                flat, (i * band * wp, 0), (e, f)
+            )
+
+        bands = jax.vmap(grab)(jnp.arange(n_bands))  # (n_bands, E, F)
+
+        kernel = functools.partial(
+            _rdb_kernel,
+            band=band,
+            wp=wp,
+            height=h,
+            width=w,
+            features=f,
+            growth=g,
+            scaling=scaling,
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_bands, band * wp, f), jnp.float32),
+            grid=(n_bands,),
+            in_specs=[
+                pl.BlockSpec((1, e, f), lambda i: (i, 0, 0)),
+                pl.BlockSpec(packed[0].shape, lambda i: (0, 0, 0)),
+                pl.BlockSpec(packed[1].shape, lambda i: (0, 0, 0)),
+                pl.BlockSpec(packed[2].shape, lambda i: (0, 0, 0)),
+                pl.BlockSpec(packed[3].shape, lambda i: (0, 0, 0)),
+                pl.BlockSpec(packed[4].shape, lambda i: (0, 0, 0)),
+                pl.BlockSpec(b_all.shape, lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, band * wp, f), lambda i: (i, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((e, f + 4 * g), jnp.float32),
+                pltpu.VMEM((e, f + 3 * g), jnp.float32),
+                pltpu.VMEM((e, f + 2 * g), jnp.float32),
+                pltpu.VMEM((e, f + g), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(bands, *packed, b_all)
+
+        return out.reshape(hp, wp, f)[:h, 1 : w + 1]
+
+    return jax.vmap(one)(x)

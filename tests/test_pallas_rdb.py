@@ -1,0 +1,124 @@
+"""Fused-RDB Pallas kernel: parity with the XLA dense block (interpret mode
+off-TPU), edge geometry, batch handling, gradients through the custom VJP,
+and the model-level dispatch contract."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepbedmap_tpu.ops.pallas_rdb import (
+    rdb_fused,
+    rdb_pallas,
+    rdb_reference,
+    should_fuse,
+)
+
+F, G = 64, 32
+
+
+def _params(seed=0, scale=0.05):
+    rs = np.random.RandomState(seed)
+    kernels, biases = [], []
+    for ci, co in zip([F, F + G, F + 2 * G, F + 3 * G, F + 4 * G],
+                      [G, G, G, G, F]):
+        kernels.append(jnp.asarray(rs.randn(3, 3, ci, co).astype(np.float32) * scale))
+        biases.append(jnp.asarray(rs.randn(co).astype(np.float32) * 0.1))
+    return kernels, biases
+
+
+@pytest.mark.parametrize(
+    "shape,band",
+    [
+        ((1, 13, 14, F), 4),   # H not divisible by band, odd W
+        ((2, 16, 6, F), 8),    # batch > 1, tiny W (wp=8 exactly one tile)
+        ((1, 5, 30, F), 16),   # band > H (single overhanging band)
+    ],
+)
+def test_rdb_kernel_matches_xla(shape, band):
+    rs = np.random.RandomState(1)
+    kernels, biases = _params()
+    x = jnp.asarray(rs.randn(*shape).astype(np.float32))
+    ref = rdb_reference(x, kernels, biases, 0.2)
+    got = rdb_pallas(x, kernels, biases, 0.2, band=band)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_rdb_zero_padding_semantics():
+    """A bright border pixel must influence neighbours exactly as SAME
+    zero-padding dictates (the kernel's mask-based padding vs real pads)."""
+    kernels, biases = _params(seed=2)
+    x = np.zeros((1, 8, 6, F), np.float32)
+    x[0, 0, 0, :] = 3.0  # corner energy
+    x[0, 7, 5, :] = -2.0
+    x = jnp.asarray(x)
+    ref = rdb_reference(x, kernels, biases, 0.3)
+    got = rdb_pallas(x, kernels, biases, 0.3, band=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_rdb_fused_gradients_match_xla():
+    """The custom VJP (XLA-recompute backward) must agree with autodiff of
+    the reference composition for x, kernels, and biases."""
+    kernels, biases = _params(seed=3)
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.randn(1, 8, 6, F).astype(np.float32))
+
+    def loss_fused(x, ks, bs):
+        return jnp.sum(rdb_fused(x, ks, bs, 0.2, 4) ** 2)
+
+    def loss_ref(x, ks, bs):
+        return jnp.sum(rdb_reference(x, ks, bs, 0.2) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, kernels, biases)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, kernels, biases)
+    for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_should_fuse_dispatch():
+    # CPU test backend: never fuse (the model's XLA branch runs in CI)
+    assert not should_fuse((1, 286, 286, 64))
+    # shape gates are backend-independent logic; emulate the TPU condition
+    import deepbedmap_tpu.ops.pallas_rdb as mod
+
+    orig = jax.default_backend
+    try:
+        jax.default_backend = lambda: "tpu"
+        assert mod.should_fuse((1, 286, 286, 64))
+        assert not mod.should_fuse((1, 9, 9, 64))  # training tiles
+        assert not mod.should_fuse((1, 286, 285, 64))  # (W+2) % 8 != 0
+    finally:
+        jax.default_backend = orig
+
+
+def test_model_xla_branch_unchanged_by_refactor():
+    """The param-holder refactor (blocks._Conv3x3Params) must leave the
+    generator's parameter tree AND outputs identical to round-2 checkpoints:
+    exact param count is pinned elsewhere; here the dense-block params feed
+    the functional conv path and match nn.Conv numerics."""
+    from deepbedmap_tpu.models.blocks import ResidualDenseBlock
+
+    rdb = ResidualDenseBlock(fused="never")
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(1, 9, 9, F).astype(np.float32))
+    params = rdb.init(jax.random.PRNGKey(0), x)["params"]
+    assert set(params) == {f"conv_layer{i}" for i in range(1, 6)}
+    assert params["conv_layer1"]["kernel"].shape == (3, 3, F, G)
+    assert params["conv_layer5"]["kernel"].shape == (3, 3, F + 4 * G, F)
+
+    out = rdb.apply({"params": params}, x)
+    kernels = [params[f"conv_layer{i}"]["kernel"] for i in range(1, 6)]
+    biases = [params[f"conv_layer{i}"]["bias"] for i in range(1, 6)]
+    ref = rdb_reference(x, kernels, biases, rdb.residual_scaling)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+    # 'always' (interpreted off-TPU) agrees too — the dispatch seam is tight
+    # (W=14 satisfies the kernel's (W+2) % 8 row-pitch constraint)
+    x14 = jnp.asarray(rs.randn(1, 9, 14, F).astype(np.float32))
+    out_fused = ResidualDenseBlock(fused="always").apply({"params": params}, x14)
+    ref14 = rdb_reference(x14, kernels, biases, rdb.residual_scaling)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(ref14), rtol=1e-5, atol=1e-5
+    )
