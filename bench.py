@@ -55,26 +55,40 @@ def main() -> None:
     # does not reliably block, so each iteration is synchronised by forcing a
     # scalar reduction to host; the measured RTT of a no-op scalar fetch is
     # subtracted.
+    # Device-side repetition: the tunnel's per-dispatch RTT varies by tens of
+    # ms run-to-run, so each measurement runs REPS forwards inside one
+    # dispatch (inputs perturbed per step to defeat CSE) and the residual
+    # single-RTT is subtracted once per dispatch. Unrolled, not lax.scan:
+    # wrapping the fused-RDB pallas kernel in a scan stalls this image's
+    # remote Mosaic compile ~16 min (measured); unrolled x4 compiles in ~6.
+    REPS = 4
+
     @jax.jit
-    def forward_sum(params, x, w1, w2, w3):
-        return jnp.sum(forward(params, x, w1, w2, w3))
+    def forward_many(params, x, w1, w2, w3):
+        acc = 0.0
+        for i in range(REPS):
+            acc = acc + jnp.sum(forward(params, x * (1.0 + 1e-6 * i), w1, w2, w3))
+        return acc
 
     @jax.jit
     def noop(x):
         return jnp.sum(x[:1, :1, :1, :1])
 
-    float(forward_sum(params, *inputs))  # compile + warmup
+    float(forward_many(params, *inputs))  # compile + warmup
     float(noop(inputs[0]))
 
     def timed(fn, args, iters):
-        start = time.perf_counter()
+        ts = []
         for _ in range(iters):
+            start = time.perf_counter()
             float(fn(*args))
-        return (time.perf_counter() - start) / iters
+            ts.append(time.perf_counter() - start)
+        ts.sort()
+        return ts[len(ts) // 2]  # median dispatch
 
-    iters = 10
+    iters = 9
     sync_overhead = timed(noop, (inputs[0],), iters)
-    per_tile = timed(forward_sum, (params,) + inputs, iters) - sync_overhead
+    per_tile = (timed(forward_many, (params,) + inputs, iters) - sync_overhead) / REPS
     tiles_per_sec = 1.0 / max(per_tile, 1e-9)
 
     result = {
