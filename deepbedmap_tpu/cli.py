@@ -210,6 +210,10 @@ def cmd_hpo(args) -> int:
             "command": "hpo",
             "trials": len(study.trials),
             "best_value": round(study.best_value, 4),
+            # no fixed-test-area evaluator is wired on the CLI path, so the
+            # optimised value is the dev-set generator loss, NOT metres
+            # (train/objective.py stand-in; see record['rmse_is_proxy'])
+            "value_metric": "val_generator_loss_proxy",
             "best_params": study.best_params,
         }
     )

@@ -92,6 +92,15 @@ class LossConfig:
     # (srgan_train.py:1229-1244), so it carries no gradient. Setting
     # differentiable_adversarial=True switches to true RaGAN generator loss.
     differentiable_adversarial: bool = False
+    # Instance noise (Sonderby et al. 2017): Gaussian noise of this std added
+    # to BOTH the real and fake patches the DISCRIMINATOR trains on, making
+    # the real/fake distributions overlap so D cannot trivially win (the
+    # reference's runs sit at D-accuracy ~1.0, an inert adversarial term —
+    # see benchmarks/train_gan_health.py). 0 = off (reference parity). The
+    # noise key derives from instance_noise_seed and state.step, so the
+    # fused step stays a pure (state, batch) function.
+    d_instance_noise: float = 0.0
+    instance_noise_seed: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

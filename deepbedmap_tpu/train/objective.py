@@ -143,6 +143,10 @@ def objective(
         else:
             rmse_test = record["val_generator_loss"]
         record["rmse_test"] = rmse_test
+        # honesty flag: without a wired evaluator the 'rmse' is the dev-set
+        # generator loss standing in (a loss, not metres) — consumers (CLI
+        # JSON, trackers) can distinguish real RMSE from the proxy
+        record["rmse_is_proxy"] = evaluate_rmse is None
         if log is not None:
             log(epoch, record)
         if tracker is not None:

@@ -140,9 +140,20 @@ def make_train_step(
                 batch["W3"],
             )
         )
+        real = batch["Y"]
+        if loss_cfg.d_instance_noise > 0:
+            # instance noise on the D update only: overlap real/fake supports
+            # so D stays informative instead of saturating (LossConfig)
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(loss_cfg.instance_noise_seed), state.step
+            )
+            k_fake, k_real = jax.random.split(key)
+            sigma = loss_cfg.d_instance_noise
+            fake = fake + sigma * jax.random.normal(k_fake, fake.shape)
+            real = real + sigma * jax.random.normal(k_real, real.shape)
         (d_loss, (new_bs, d_accu)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True
-        )(state.d_params, state.d_batch_stats, fake, batch["Y"])
+        )(state.d_params, state.d_batch_stats, fake, real)
         d_updates, d_opt = tx.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 

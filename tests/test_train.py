@@ -276,3 +276,45 @@ def test_ema_tracks_generator(setup):
             jax.tree_util.tree_leaves(back.g_ema),
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_instance_noise_changes_d_update_only():
+    """LossConfig.d_instance_noise perturbs the discriminator update
+    (real/fake overlap, benchmarks/train_gan_health.py) but must leave the
+    generator's loss inputs untouched and keep the step deterministic in
+    state.step (pure (state, batch) function)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepbedmap_tpu.config import (
+        DiscriminatorConfig,
+        GeneratorConfig,
+        LossConfig,
+        TrainConfig,
+    )
+    from deepbedmap_tpu.data.dataset import TileDataset
+    from deepbedmap_tpu.models import Discriminator, Generator
+    from deepbedmap_tpu.train import create_gan_state, make_train_step
+
+    g_cfg = GeneratorConfig(num_residual_blocks=1)
+    t_cfg = TrainConfig(batch_size=4)
+    g, d = Generator(g_cfg), Discriminator(DiscriminatorConfig())
+    batch = TileDataset.synthetic(4, seed=0).take(jnp.arange(4))
+    s0 = create_gan_state(g_cfg, t_cfg=t_cfg)
+
+    plain = jax.jit(make_train_step(g, d, t_cfg, LossConfig()))
+    noisy = jax.jit(make_train_step(g, d, t_cfg, LossConfig(d_instance_noise=0.5)))
+
+    _, m_plain = plain(s0, batch)
+    s_noisy, m_noisy = noisy(s0, batch)
+    # the D update sees different inputs...
+    assert float(m_plain.discriminator_loss) != float(m_noisy.discriminator_loss)
+    import numpy as np
+
+    assert np.isfinite(float(m_noisy.generator_loss))
+    # ...and the step is deterministic: same state+batch -> same metrics
+    _, m_again = noisy(s0, batch)
+    assert float(m_again.discriminator_loss) == float(m_noisy.discriminator_loss)
+    # successive steps draw fresh noise (key folds in state.step)
+    _, m_next = noisy(s_noisy, batch)
+    assert float(m_next.discriminator_loss) != float(m_noisy.discriminator_loss)
