@@ -9,6 +9,8 @@ Run detached (a hung Mosaic compile wedges the tunnel; never timeout-kill):
   setsid nohup python benchmarks/bench_rdb.py > /tmp/bench_rdb.log 2>&1 &
 """
 
+import functools
+import os
 import sys
 import time
 
@@ -19,9 +21,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from deepbedmap_tpu.ops.pallas_rdb import rdb_pallas
+from deepbedmap_tpu.ops.pallas_rdb import rdb_pallas as _rdb_pallas
 
 BAND = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+# PACK=1: dy-packed variant (one [mid|down|up] lane-concatenated matmul per
+# source instead of three; docs/NEXT.md round-3 item 2)
+PACK = os.environ.get("PACK", "") == "1"
+rdb_pallas = functools.partial(_rdb_pallas, pack_dys=PACK)
 
 
 def log(msg):
@@ -68,7 +74,7 @@ def bench(fn, *args, iters=20):
     return (dt - rtt) * 1e3
 
 
-log(f"devices: {jax.devices()}  band={BAND}")
+log(f"devices: {jax.devices()}  band={BAND}  pack_dys={PACK}")
 rs = np.random.RandomState(0)
 kernels, biases = make_params(rs)
 

@@ -122,16 +122,35 @@ def main():
 
     base_t = TrainConfig(batch_size=128)
     ema_t = TrainConfig(batch_size=128, ema_decay=0.999)
-    tag = f"{SIGMA:g}m"
-    configs = [
-        (f"B_noise{tag}", LossConfig(d_instance_noise=SIGMA), base_t),
-        (f"C_noise{tag}_ema", LossConfig(d_instance_noise=SIGMA), ema_t),
-        (f"D_noise{tag}_diffadv",
-         LossConfig(d_instance_noise=SIGMA, differentiable_adversarial=True),
-         base_t),
-    ]
-    if not APPEND:
-        configs.insert(0, ("A_reference", LossConfig(), base_t))
+    steps_per_epoch = int(TILES * base_t.train_fraction) // base_t.batch_size
+
+    spec = os.environ.get("GAN_CONFIGS", "")
+    if spec:
+        # e.g. GAN_CONFIGS='[{"name":"S300hl17","sigma":300,"hl_epochs":17,
+        #                     "ema":false,"diffadv":false}]' EPOCHS=10 APPEND=1
+        configs = []
+        for c in json.loads(spec):
+            hl = c.get("hl_epochs", 0) * steps_per_epoch
+            configs.append((
+                c["name"],
+                LossConfig(
+                    d_instance_noise=c.get("sigma", 0.0),
+                    instance_noise_half_life_steps=hl,
+                    differentiable_adversarial=c.get("diffadv", False),
+                ),
+                ema_t if c.get("ema") else base_t,
+            ))
+    else:
+        tag = f"{SIGMA:g}m"
+        configs = [
+            (f"B_noise{tag}", LossConfig(d_instance_noise=SIGMA), base_t),
+            (f"C_noise{tag}_ema", LossConfig(d_instance_noise=SIGMA), ema_t),
+            (f"D_noise{tag}_diffadv",
+             LossConfig(d_instance_noise=SIGMA, differentiable_adversarial=True),
+             base_t),
+        ]
+        if not APPEND:
+            configs.insert(0, ("A_reference", LossConfig(), base_t))
     records = []
     for name, loss_cfg, t_cfg in configs:
         run_config(name, dataset, loss_cfg, t_cfg, records)

@@ -101,6 +101,14 @@ class LossConfig:
     # fused step stays a pure (state, batch) function.
     d_instance_noise: float = 0.0
     instance_noise_seed: int = 0
+    # Annealed instance noise (the standard schedule): sigma decays as
+    # d_instance_noise * 0.5 ** (step / half_life_steps), tracking the
+    # generator's shrinking residual from above. Flat sigma either drowns
+    # early training or is outgrown by D later (measured: flat sigma=50 m on
+    # the quality-run task drops D-accuracy only at epoch 0 — conv layers
+    # average white noise ~sqrt(taps) faster than the generator's spatially
+    # correlated artifacts, so D recovers to ~1.0 by epoch 5). 0 = no decay.
+    instance_noise_half_life_steps: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

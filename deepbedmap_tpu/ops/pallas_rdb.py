@@ -48,13 +48,21 @@ from jax.experimental.pallas import tpu as pltpu
 _MARGIN = 5
 
 
-def _pack_weights(kernels: Sequence[jax.Array], features: int, growth: int):
+def _pack_weights(
+    kernels: Sequence[jax.Array], features: int, growth: int, pack_dys: bool = False
+):
     """Per-source, per-dy weight matrices from the five HWIO conv kernels.
 
     Source channel ranges in the dense concat: x 0:F, a1 F:F+G, ... For
     source s the matrix W_s[dy] is (3*C_s, N_s): rows are [dx=-1|dx=0|dx=+1]
     blocks of C_s channels, columns the concatenation of every later conv's
-    outputs."""
+    outputs.
+
+    pack_dys=True lane-concatenates the three dy matrices into one
+    (3*C_s, 3*N_s) matrix [dy=0 | dy=-1 | dy=+1] so the kernel issues ONE
+    3x-wide matmul per source instead of three: N_s = 192/160/96/64 wastes
+    25-50% of the 128-lane MXU per pass, 3*N_s = 576/480/288/192 wastes
+    0-25% (the dy-packing lever, docs/NEXT.md round-3 item 2)."""
     starts = [0, features, features + growth, features + 2 * growth,
               features + 3 * growth]
     widths = [features, growth, growth, growth, growth]
@@ -71,7 +79,13 @@ def _pack_weights(kernels: Sequence[jax.Array], features: int, growth: int):
                     cols.append(k[dy, dx, c0 : c0 + cw, :])
                 blocks.append(jnp.concatenate(cols, axis=-1))  # (C_s, N_s)
             per_dy.append(jnp.concatenate(blocks, axis=0))  # (3*C_s, N_s)
-        packed.append(jnp.stack(per_dy))  # (3, 3*C_s, N_s)
+        if pack_dys:
+            # [mid | down (dy=-1) | up (dy=+1)] in lanes, one dot per source
+            packed.append(
+                jnp.concatenate([per_dy[1], per_dy[0], per_dy[2]], axis=1)
+            )  # (3*C_s, 3*N_s)
+        else:
+            packed.append(jnp.stack(per_dy))  # (3, 3*C_s, N_s)
     return packed
 
 
@@ -96,6 +110,7 @@ def _rdb_kernel(
     features: int,
     growth: int,
     scaling: float,
+    pack_dys: bool = False,
 ):
     F, G = features, growth
     E = x_ref.shape[1]
@@ -128,7 +143,20 @@ def _rdb_kernel(
         (b) restricting each source's dots to its consumers' margin-shrunk
         extent (~10% fewer FLOPs on paper) crashes the Mosaic compiler at
         every band size tried; (c) band >= 48 exceeds VMEM (compiler
-        subprocess OOM). band=32 is the sweet spot."""
+        subprocess OOM). band=32 is the sweet spot.
+
+        pack_dys: one (E, 3N) dot against the lane-concatenated
+        [mid|down|up] matrix, then the same shifted adds from lane slices
+        at N and 2N (N is a multiple of 32; Mosaic lowers the unaligned
+        slices to lane shuffles — whether that beats the 3x-wider MXU
+        passes is what the bench decides)."""
+        if pack_dys:
+            nn = w_ref_.shape[1] // 3
+            p = jnp.dot(src3, w_ref_[...], preferred_element_type=jnp.float32)
+            acc_ref[...] = p[:, :nn]
+            acc_ref[wp:, :] += p[: E - wp, nn : 2 * nn]
+            acc_ref[: E - wp, :] += p[wp:, 2 * nn :]
+            return
         acc_ref[...] = jnp.dot(
             src3, w_ref_[1], preferred_element_type=jnp.float32
         )
@@ -181,15 +209,24 @@ def _rdb_kernel(
         + acc3_ref[lo:hi, G:]
         + b_ref[0, 4 * G :]
     )
-    a5 = a5 + jnp.dot(
-        s3a4[lo:hi], w4_ref[1], preferred_element_type=jnp.float32
-    )
-    a5 = a5 + jnp.dot(
-        s3a4[lo - wp : hi - wp], w4_ref[0], preferred_element_type=jnp.float32
-    )
-    a5 = a5 + jnp.dot(
-        s3a4[lo + wp : hi + wp], w4_ref[2], preferred_element_type=jnp.float32
-    )
+    if pack_dys:
+        # one (band+2)*wp x 3F dot, shifted lane-sliced adds as above
+        p = jnp.dot(
+            s3a4[lo - wp : hi + wp], w4_ref[...],
+            preferred_element_type=jnp.float32,
+        )
+        bw = band * wp
+        a5 = a5 + p[wp : wp + bw, :F] + p[:bw, F : 2 * F] + p[2 * wp :, 2 * F :]
+    else:
+        a5 = a5 + jnp.dot(
+            s3a4[lo:hi], w4_ref[1], preferred_element_type=jnp.float32
+        )
+        a5 = a5 + jnp.dot(
+            s3a4[lo - wp : hi - wp], w4_ref[0], preferred_element_type=jnp.float32
+        )
+        a5 = a5 + jnp.dot(
+            s3a4[lo + wp : hi + wp], w4_ref[2], preferred_element_type=jnp.float32
+        )
 
     out_ref[0] = x[lo:hi] + scaling * a5
 
@@ -252,6 +289,7 @@ def rdb_pallas(
     scaling: float,
     band: int = 32,
     interpret: bool = False,
+    pack_dys: bool = False,
 ) -> jax.Array:
     """Fused dense block: out = x + scaling * conv5(dense(x)). Requires
     (W + 2) % 8 == 0 (the flattened row pitch must be sublane-aligned so the
@@ -270,7 +308,7 @@ def rdb_pallas(
     hp = n_bands * band
     e = (band + 2 * _MARGIN) * wp
 
-    packed = _pack_weights(kernels, f, g)
+    packed = _pack_weights(kernels, f, g, pack_dys=pack_dys)
     b_all = jnp.concatenate(biases)[None, :]
 
     def one(img):  # (H, W, F) -> (H, W, F)
@@ -294,20 +332,18 @@ def rdb_pallas(
             features=f,
             growth=g,
             scaling=scaling,
+            pack_dys=pack_dys,
         )
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((n_bands, band * wp, f), jnp.float32),
             grid=(n_bands,),
-            in_specs=[
-                pl.BlockSpec((1, e, f), lambda i: (i, 0, 0)),
-                pl.BlockSpec(packed[0].shape, lambda i: (0, 0, 0)),
-                pl.BlockSpec(packed[1].shape, lambda i: (0, 0, 0)),
-                pl.BlockSpec(packed[2].shape, lambda i: (0, 0, 0)),
-                pl.BlockSpec(packed[3].shape, lambda i: (0, 0, 0)),
-                pl.BlockSpec(packed[4].shape, lambda i: (0, 0, 0)),
-                pl.BlockSpec(b_all.shape, lambda i: (0, 0)),
-            ],
+            in_specs=[pl.BlockSpec((1, e, f), lambda i: (i, 0, 0))]
+            + [
+                pl.BlockSpec(p_.shape, lambda i, nd=p_.ndim: (0,) * nd)
+                for p_ in packed
+            ]
+            + [pl.BlockSpec(b_all.shape, lambda i: (0, 0))],
             out_specs=pl.BlockSpec((1, band * wp, f), lambda i: (i, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((e, f + 4 * g), jnp.float32),

@@ -149,6 +149,13 @@ def make_train_step(
             )
             k_fake, k_real = jax.random.split(key)
             sigma = loss_cfg.d_instance_noise
+            if loss_cfg.instance_noise_half_life_steps > 0:
+                # traced function of state.step: decays inside the jitted
+                # graph, no recompile per sigma value
+                sigma = sigma * 0.5 ** (
+                    state.step.astype(jnp.float32)
+                    / loss_cfg.instance_noise_half_life_steps
+                )
             fake = fake + sigma * jax.random.normal(k_fake, fake.shape)
             real = real + sigma * jax.random.normal(k_real, real.shape)
         (d_loss, (new_bs, d_accu)), d_grads = jax.value_and_grad(

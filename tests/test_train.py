@@ -318,3 +318,50 @@ def test_instance_noise_changes_d_update_only():
     # successive steps draw fresh noise (key folds in state.step)
     _, m_next = noisy(s_noisy, batch)
     assert float(m_next.discriminator_loss) != float(m_noisy.discriminator_loss)
+
+
+def test_instance_noise_half_life_anneals_to_zero():
+    """instance_noise_half_life_steps decays sigma inside the jitted graph:
+    at step 0 the D update differs from the noise-free step, while after many
+    half-lives (sigma * 2^-40) it converges to it — same compiled function,
+    sigma traced from state.step (benchmarks/train_gan_health.py schedule)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepbedmap_tpu.config import (
+        DiscriminatorConfig,
+        GeneratorConfig,
+        LossConfig,
+        TrainConfig,
+    )
+    from deepbedmap_tpu.data.dataset import TileDataset
+    from deepbedmap_tpu.models import Discriminator, Generator
+    from deepbedmap_tpu.train import create_gan_state, make_train_step
+
+    g_cfg = GeneratorConfig(num_residual_blocks=1)
+    t_cfg = TrainConfig(batch_size=4)
+    g, d = Generator(g_cfg), Discriminator(DiscriminatorConfig())
+    batch = TileDataset.synthetic(4, seed=0).take(jnp.arange(4))
+    s0 = create_gan_state(g_cfg, t_cfg=t_cfg)
+    s_late = s0.replace(step=jnp.asarray(40, dtype=s0.step.dtype))
+
+    plain = jax.jit(make_train_step(g, d, t_cfg, LossConfig()))
+    annealed = jax.jit(
+        make_train_step(
+            g, d, t_cfg,
+            LossConfig(d_instance_noise=0.5, instance_noise_half_life_steps=1.0),
+        )
+    )
+
+    _, m_plain0 = plain(s0, batch)
+    _, m_ann0 = annealed(s0, batch)
+    assert float(m_plain0.discriminator_loss) != float(m_ann0.discriminator_loss)
+
+    _, m_plain_late = plain(s_late, batch)
+    _, m_ann_late = annealed(s_late, batch)
+    np.testing.assert_allclose(
+        float(m_ann_late.discriminator_loss),
+        float(m_plain_late.discriminator_loss),
+        rtol=1e-6,
+    )
