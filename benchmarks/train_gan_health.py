@@ -29,6 +29,7 @@ Run detached (TPU compile of 4 step variants ~6 min each through the tunnel):
   setsid nohup python benchmarks/train_gan_health.py > /tmp/gan_health.log 2>&1 &
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -127,10 +128,15 @@ def main():
     spec = os.environ.get("GAN_CONFIGS", "")
     if spec:
         # e.g. GAN_CONFIGS='[{"name":"S300hl17","sigma":300,"hl_epochs":17,
-        #                     "ema":false,"diffadv":false}]' EPOCHS=10 APPEND=1
+        #                     "ema":false,"diffadv":false,"d_lr":0.1}]'
+        #      EPOCHS=10 APPEND=1
         configs = []
         for c in json.loads(spec):
             hl = c.get("hl_epochs", 0) * steps_per_epoch
+            t = ema_t if c.get("ema") else base_t
+            if c.get("d_lr", 1.0) != 1.0:
+                # inverted TTUR: slow the discriminator's Adam
+                t = dataclasses.replace(t, d_lr_scale=c["d_lr"])
             configs.append((
                 c["name"],
                 LossConfig(
@@ -138,7 +144,7 @@ def main():
                     instance_noise_half_life_steps=hl,
                     differentiable_adversarial=c.get("diffadv", False),
                 ),
-                ema_t if c.get("ema") else base_t,
+                t,
             ))
     else:
         tag = f"{SIGMA:g}m"

@@ -136,6 +136,12 @@ class TrainConfig:
     # from the EMA weights is the standard GAN variance-reduction trick the
     # reference never applied.
     ema_decay: float = 0.0
+    # Two-time-scale update rule (Heusel et al. 2017, inverted): the
+    # discriminator's Adam runs at learning_rate * d_lr_scale. 1.0 =
+    # reference parity (one shared alpha, srgan_train.py:1043-1048); <1
+    # slows D so it cannot saturate on tasks where real/fake separate
+    # trivially (see benchmarks/train_gan_health.py).
+    d_lr_scale: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

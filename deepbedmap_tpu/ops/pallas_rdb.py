@@ -58,11 +58,12 @@ def _pack_weights(
     blocks of C_s channels, columns the concatenation of every later conv's
     outputs.
 
-    pack_dys=True lane-concatenates the three dy matrices into one
-    (3*C_s, 3*N_s) matrix [dy=0 | dy=-1 | dy=+1] so the kernel issues ONE
-    3x-wide matmul per source instead of three: N_s = 192/160/96/64 wastes
-    25-50% of the 128-lane MXU per pass, 3*N_s = 576/480/288/192 wastes
-    0-25% (the dy-packing lever, docs/NEXT.md round-3 item 2)."""
+    pack_dys=True (the default) lane-concatenates the three dy matrices into
+    one (3*C_s, 3*N_s) matrix [dy=0 | dy=-1 | dy=+1] so the kernel issues
+    ONE 3x-wide matmul per source instead of three: N_s = 192/160/96/64
+    wastes 25-50% of the 128-lane MXU per pass, 3*N_s = 576/480/288/192
+    wastes 0-25%. Measured on the 36-RDB trunk @286^2: 43.6 -> 39.4 ms
+    (one v5e, device-side repetition)."""
     starts = [0, features, features + growth, features + 2 * growth,
               features + 3 * growth]
     widths = [features, growth, growth, growth, growth]
@@ -289,7 +290,7 @@ def rdb_pallas(
     scaling: float,
     band: int = 32,
     interpret: bool = False,
-    pack_dys: bool = False,
+    pack_dys: bool = True,
 ) -> jax.Array:
     """Fused dense block: out = x + scaling * conv5(dense(x)). Requires
     (W + 2) % 8 == 0 (the flattened row pitch must be sublane-aligned so the

@@ -54,11 +54,18 @@ def make_lr(cfg: TrainConfig):
     raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def make_optimizer(
+    cfg: TrainConfig, lr_scale: float = 1.0
+) -> optax.GradientTransformation:
     """Adam exactly as the reference configures it (alpha=lr, eps=1e-8,
-    default betas; srgan_train.py:1043-1048), with the optional schedule."""
+    default betas; srgan_train.py:1043-1048), with the optional schedule.
+    ``lr_scale`` multiplies the (possibly scheduled) learning rate — used
+    for the discriminator's TTUR knob (TrainConfig.d_lr_scale)."""
+    lr = make_lr(cfg)
+    if lr_scale != 1.0:
+        lr = (lambda s, base=lr: base(s) * lr_scale) if callable(lr) else lr * lr_scale
     return optax.adam(
-        learning_rate=make_lr(cfg),
+        learning_rate=lr,
         b1=cfg.adam_beta1,
         b2=cfg.adam_beta2,
         eps=cfg.adam_eps,

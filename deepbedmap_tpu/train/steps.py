@@ -126,6 +126,7 @@ def make_train_step(
 ) -> Callable[[GANState, Batch], Tuple[GANState, StepMetrics]]:
     """Build the fused jitted D+G train step."""
     tx = make_optimizer(t_cfg)
+    tx_d = make_optimizer(t_cfg, lr_scale=t_cfg.d_lr_scale)
     d_loss_fn = make_d_loss_fn(d_model)
     g_loss_fn = make_g_loss_fn(g_model, d_model, loss_cfg)
 
@@ -161,7 +162,7 @@ def make_train_step(
         (d_loss, (new_bs, d_accu)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True
         )(state.d_params, state.d_batch_stats, fake, real)
-        d_updates, d_opt = tx.update(d_grads, state.d_opt, state.d_params)
+        d_updates, d_opt = tx_d.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 
         # ---- generator update (D frozen, post-update D params as in reference) ----

@@ -28,6 +28,7 @@ def _params(seed=0, scale=0.05):
     return kernels, biases
 
 
+@pytest.mark.parametrize("pack_dys", [True, False])
 @pytest.mark.parametrize(
     "shape,band",
     [
@@ -36,31 +37,15 @@ def _params(seed=0, scale=0.05):
         ((1, 5, 30, F), 16),   # band > H (single overhanging band)
     ],
 )
-def test_rdb_kernel_matches_xla(shape, band):
+def test_rdb_kernel_matches_xla(shape, band, pack_dys):
+    """Both dot decompositions — dy-packed (default: one lane-concatenated
+    [mid|down|up] matmul per source) and per-dy (three narrower matmuls) —
+    are the same math and must agree with the XLA oracle to fp32 round-off."""
     rs = np.random.RandomState(1)
     kernels, biases = _params()
     x = jnp.asarray(rs.randn(*shape).astype(np.float32))
     ref = rdb_reference(x, kernels, biases, 0.2)
-    got = rdb_pallas(x, kernels, biases, 0.2, band=band)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
-
-
-@pytest.mark.parametrize(
-    "shape,band",
-    [
-        ((1, 13, 14, F), 4),
-        ((2, 16, 6, F), 8),
-    ],
-)
-def test_rdb_kernel_pack_dys_matches_xla(shape, band):
-    """The dy-packed variant (one lane-concatenated [mid|down|up] matmul per
-    source, docs/NEXT.md round-3 item 2) is the same math in a different dot
-    order — it must agree with the XLA oracle to fp32 round-off."""
-    rs = np.random.RandomState(3)
-    kernels, biases = _params()
-    x = jnp.asarray(rs.randn(*shape).astype(np.float32))
-    ref = rdb_reference(x, kernels, biases, 0.2)
-    got = rdb_pallas(x, kernels, biases, 0.2, band=band, pack_dys=True)
+    got = rdb_pallas(x, kernels, biases, 0.2, band=band, pack_dys=pack_dys)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 

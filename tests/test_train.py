@@ -365,3 +365,42 @@ def test_instance_noise_half_life_anneals_to_zero():
         float(m_plain_late.discriminator_loss),
         rtol=1e-6,
     )
+
+
+def test_d_lr_scale_slows_discriminator_only():
+    """TrainConfig.d_lr_scale runs the discriminator's Adam at a scaled
+    alpha (inverted TTUR, benchmarks/train_gan_health.py): 0 freezes D
+    while G still updates; 1 is bit-identical to the shared-alpha default;
+    the scaled schedule path multiplies through make_lr."""
+    g_cfg = GeneratorConfig(num_residual_blocks=1)
+    batch = TileDataset.synthetic(4, seed=0).take(jnp.arange(4))
+
+    frozen_t = TrainConfig(batch_size=4, d_lr_scale=0.0)
+    g, d = Generator(g_cfg), Discriminator(DiscriminatorConfig())
+    s0 = create_gan_state(g_cfg, t_cfg=frozen_t)
+    s1, _ = jax.jit(make_train_step(g, d, frozen_t))(s0, batch)
+    assert not _leaf_diff(s1.d_params, s0.d_params)  # D frozen
+    assert _leaf_diff(s1.g_params, s0.g_params)  # G still learns
+
+    default_t = TrainConfig(batch_size=4)
+    explicit_t = TrainConfig(batch_size=4, d_lr_scale=1.0)
+    sa, _ = jax.jit(make_train_step(g, d, default_t))(s0, batch)
+    sb, _ = jax.jit(make_train_step(g, d, explicit_t))(s0, batch)
+    assert not _leaf_diff(sa.d_params, sb.d_params)
+
+    from deepbedmap_tpu.train.state import make_optimizer
+
+    sched_cfg = TrainConfig(
+        learning_rate=2e-4,
+        lr_schedule="cosine",
+        lr_total_steps=100,
+        d_lr_scale=0.25,
+    )
+    tx_d = make_optimizer(sched_cfg, lr_scale=sched_cfg.d_lr_scale)
+    tx = make_optimizer(sched_cfg)
+    grads = {"w": jnp.ones((3,))}
+    upd_d, _ = tx_d.update(grads, tx_d.init(grads), grads)
+    upd, _ = tx.update(grads, tx.init(grads), grads)
+    np.testing.assert_allclose(
+        np.asarray(upd_d["w"]), 0.25 * np.asarray(upd["w"]), rtol=1e-6
+    )
