@@ -24,9 +24,9 @@ from jax import lax
 from deepbedmap_tpu.ops.pallas_rdb import rdb_pallas as _rdb_pallas
 
 BAND = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-# PACK=1: dy-packed variant (one [mid|down|up] lane-concatenated matmul per
-# source instead of three; docs/NEXT.md round-3 item 2)
-PACK = os.environ.get("PACK", "") == "1"
+# PACK=0: per-dy dots (three narrow matmuls per source) instead of the
+# dy-packed default (one lane-concatenated [mid|down|up] matmul per source)
+PACK = os.environ.get("PACK", "1") == "1"
 rdb_pallas = functools.partial(_rdb_pallas, pack_dys=PACK)
 
 

@@ -1,0 +1,212 @@
+"""Per-stage timing of the continent-tile generator forward (the tail audit).
+
+The trunk (39.4 ms) and the deform kernels (20.3 + 9.4 ms) are measured;
+the remaining ~45 ms of the ~115 ms tile forward is spread over the input
+block, pre/post-residual convs, two upsample+conv stages and glue whose
+roofline sum is ~3 ms. This bench times each stage in isolation at the
+continent tile shape (lr 288 -> latent 286 -> out 1144) to find where that
+gap actually lives before any kernel work.
+
+Timing: device-side repetition (every stage runs ITERS times inside ONE
+dispatch, serialized through the carry) — per-dispatch host timing through
+this image's TPU tunnel carries +-30 ms RTT noise. Shape-preserving stages
+chain output->input directly (zero overhead); shape-changing stages embed a
+carry-dependent element write into the input (dynamic_update_slice), whose
+cost is measured separately as `dus_baseline` and subtracted.
+
+Run detached (never timeout-kill a TPU compile):
+  setsid nohup python benchmarks/bench_tail.py > /tmp/bench_tail.log 2>&1 &
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+if os.environ.get("CPU") == "1":  # harness smoke test (JAX_PLATFORMS is ignored)
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+ITERS = int(os.environ.get("ITERS", "10"))
+# latent grid for the 288-px lr continent tile; override small (e.g. LAT=30)
+# for a CPU smoke test of the harness itself
+LAT = int(os.environ.get("LAT", "286"))
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def bench_preserving(stage, x, iters=ITERS):
+    """stage: (x) -> same-shape array. Chain through the carry."""
+
+    @jax.jit
+    def run(x0):
+        def body(c, _):
+            return stage(c), None
+
+        out, _ = lax.scan(body, x0, None, length=iters)
+        return out
+
+    run(x)  # compile + warm
+    float(jnp.sum(run(x)))
+    t0 = time.perf_counter()
+    s = float(jnp.sum(run(x)))
+    t1 = time.perf_counter()
+    assert np.isfinite(s), s
+    return (t1 - t0) / iters * 1e3
+
+
+def bench_changing(stage, x, iters=ITERS):
+    """stage: (x) -> any-shape array. Serialize via a scalar carry written
+    into one input element; subtract the measured write-only baseline."""
+
+    def dep(x0, c):
+        return lax.dynamic_update_slice(
+            x0, c.reshape((1,) * x0.ndim).astype(x0.dtype), (0,) * x0.ndim
+        )
+
+    # the carry consumes a FULL reduction of the stage output (consuming one
+    # element would let XLA dead-code-eliminate e.g. the broadcast upsample);
+    # the reduce itself (~0.1 ms at these sizes) is in both run and baseline
+    @jax.jit
+    def run(x0):
+        def body(c, _):
+            y = stage(dep(x0, c * 1e-30))
+            return jnp.float32(jnp.sum(y)), None
+
+        out, _ = lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return out
+
+    @jax.jit
+    def base(x0):
+        def body(c, _):
+            y = dep(x0, c * 1e-30)
+            return jnp.float32(jnp.sum(y)), None
+
+        out, _ = lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return out
+
+    for f in (run, base):
+        f(x)
+        float(f(x))
+    t0 = time.perf_counter()
+    float(run(x))
+    t_run = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(base(x))
+    t_base = time.perf_counter() - t0
+    return (t_run - t_base) / iters * 1e3
+
+
+def main():
+    from deepbedmap_tpu.config import GeneratorConfig
+    from deepbedmap_tpu.models import build_generator
+    from deepbedmap_tpu.models.blocks import DeformableConv, InputBlock
+    from deepbedmap_tpu.ops.resize import nearest_upsample
+
+    log(f"devices: {jax.devices()}")
+    rs = np.random.RandomState(0)
+    results = {}
+
+    cfg = GeneratorConfig()
+    model, params = build_generator(cfg, lr=LAT + 2)
+
+    def t(name, ms):
+        results[name] = round(ms, 2)
+        log(f"{name}: {ms:.2f} ms")
+
+    # --- full forward (the number everything must add up to) ---
+    xs = (
+        jnp.asarray(rs.rand(1, LAT + 2, LAT + 2, 1), jnp.float32),
+        jnp.asarray(rs.rand(1, 10 * (LAT + 2), 10 * (LAT + 2), 1), jnp.float32),
+        jnp.asarray(rs.rand(1, 2 * (LAT + 2), 2 * (LAT + 2), 2), jnp.float32),
+        jnp.asarray(rs.rand(1, LAT + 2, LAT + 2, 1), jnp.float32),
+    )
+    fwd = lambda a: model.apply({"params": params}, *a)
+    log("compiling full forward (pallas trunk + deform, ~2-6 min)...")
+    t("full_forward", bench_changing(lambda x_: fwd((x_,) + xs[1:]), xs[0], iters=5))
+
+    # --- stage params: one 3x3 conv at 64ch ---
+    w64 = jnp.asarray(rs.randn(3, 3, 64, 64).astype(np.float32) * 0.05)
+    b64 = jnp.zeros((64,))
+
+    def conv64(a):
+        z = lax.conv_general_dilated(
+            a, w64, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + b64
+        return jnp.where(z >= 0, z, 0.2 * z)
+
+    for res in (LAT, 2 * LAT, 4 * LAT):
+        x = jnp.asarray(rs.rand(1, res, res, 64), jnp.float32)
+        t(f"conv64_{res}", bench_preserving(conv64, x))
+
+    # --- upsample (shape-changing) ---
+    for res in (LAT, 2 * LAT):
+        x = jnp.asarray(rs.rand(1, res, res, 64), jnp.float32)
+        t(f"upsample_{res}", bench_changing(lambda a: nearest_upsample(a, 2), x))
+        t(
+            f"upsample_conv_{res}",
+            bench_changing(lambda a: conv64(nearest_upsample(a, 2)), x),
+        )
+
+    # --- input block ---
+    ib = InputBlock(cfg.inblock_channels, cfg.init_scale, None)
+    ib_params = ib.init(jax.random.PRNGKey(0), *xs)
+    t(
+        "input_block",
+        bench_changing(lambda x_: ib.apply(ib_params, x_, *xs[1:]), xs[0]),
+    )
+
+    # --- deform layers at out res (module = offset conv + sampler) ---
+    hi = jnp.asarray(rs.rand(1, 4 * LAT, 4 * LAT, 64), jnp.float32)
+    d1 = DeformableConv(64, cfg.init_scale, None, clamp=cfg.deform_clamp)
+    d1p = d1.init(jax.random.PRNGKey(1), hi)
+    log("compiling deform64 (pallas, ~1-2 min)...")
+    t("deform64_full", bench_preserving(lambda a: d1.apply(d1p, a), hi))
+    d2 = DeformableConv(1, cfg.init_scale, None, clamp=cfg.deform_clamp)
+    d2p = d2.init(jax.random.PRNGKey(2), hi)
+    t("deform1_full", bench_changing(lambda a: d2.apply(d2p, a), hi))
+
+    # offset conv alone (64 -> 18 at out res)
+    w18 = jnp.asarray(rs.randn(3, 3, 64, 18).astype(np.float32) * 0.05)
+    t(
+        f"offset_conv_{4 * LAT}",
+        bench_changing(
+            lambda a: lax.conv_general_dilated(
+                a, w18, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ),
+            hi,
+        ),
+    )
+
+    # --- residual add + leaky at latent res (elementwise glue probe) ---
+    x = jnp.asarray(rs.rand(1, LAT, LAT, 64), jnp.float32)
+    t("residual_add_286", bench_preserving(lambda a: a + 0.1 * a, x))
+
+    known = (
+        results.get("input_block", 0)
+        + 2 * results.get("conv64_286", 0)  # pre+post residual convs
+        + results.get("upsample_conv_286", 0)
+        + results.get("upsample_conv_572", 0)
+        + results.get("deform64_full", 0)
+        + results.get("deform1_full", 0)
+    )
+    log(
+        f"stage sum (ex-trunk) {known:.1f} ms + trunk -> vs full "
+        f"{results['full_forward']:.1f} ms"
+    )
+    print(json.dumps(results))
+    log("DONE")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,15 +38,72 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+if os.environ.get("CPU") == "1":  # harness smoke test (JAX_PLATFORMS is ignored)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "gan_health")
+OUT_DIR = os.environ.get(
+    "OUT_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "gan_health"),
+)
 EPOCHS = int(os.environ.get("EPOCHS", "30"))
-TILES = 3826
+TILES = int(os.environ.get("TILES", "3826"))  # override small for smoke tests
+BATCH = int(os.environ.get("BATCH", "128"))
 # Overridable for follow-up passes: SIGMA=25 APPEND=1 python ...
 SIGMA = float(os.environ.get("SIGMA", "50.0"))
 APPEND = os.environ.get("APPEND", "") == "1"
+# TASK=rough: the stochastic-roughness task (build_roughness_sr_dataset) —
+# real/fake overlap by CONSTRUCTION instead of by injected noise
+TASK = os.environ.get("TASK", "sr")
+ROUGH_AMP = float(os.environ.get("ROUGH_AMP", "60.0"))
+
+
+def build_roughness_sr_dataset(n: int, seed: int = 0, amp: float = 60.0):
+    """SR task with irreducible stochastic detail — the honest GAN-health
+    testbed (and the reference's actual scientific premise: hallucinating
+    plausible bed roughness the low-res input cannot determine,
+    /root/reference README 'rough bed simulating real bed conditions').
+
+    Y = bilinear-4x-up(inner 9x9 of X) + r, where r is spatially-correlated
+    (two 3x3 box smoothings of white noise, ~2-3 px correlation length)
+    roughness with per-tile std ``amp`` metres, INDEPENDENT of X. The
+    pointwise-optimal generator predicts the smooth conditional mean; only
+    the adversarial term can push it to emit realistic roughness. Instance
+    noise cannot create this overlap: the discriminator aggregates ~1296
+    pixels, so separability scales like sqrt(N_px) * residual / sigma —
+    per-pixel noise would need sigma ~ 36x the residual (the measured E-I
+    anneal sweep saturated accordingly).
+    """
+    from deepbedmap_tpu.data.dataset import TileDataset
+
+    rs = np.random.RandomState(seed)
+    X = (rs.rand(n, 1, 11, 11).astype(np.float32) - 0.5) * 1600.0
+    Y = np.asarray(
+        jax.vmap(
+            lambda x: jax.image.resize(x[0, 1:-1, 1:-1], (36, 36), "linear")[None]
+        )(jnp.asarray(X))
+    )
+    r = rs.randn(n, 36 + 4, 36 + 4).astype(np.float32)
+    for _ in range(2):  # two 3x3 box passes -> short-range correlation
+        r = (
+            r[:, :-2, :-2] + r[:, :-2, 1:-1] + r[:, :-2, 2:]
+            + r[:, 1:-1, :-2] + r[:, 1:-1, 1:-1] + r[:, 1:-1, 2:]
+            + r[:, 2:, :-2] + r[:, 2:, 1:-1] + r[:, 2:, 2:]
+        ) / 9.0
+    r -= r.mean(axis=(1, 2), keepdims=True)
+    r *= amp / (r.std(axis=(1, 2), keepdims=True) + 1e-8)
+    Y = Y + r[:, None, :, :]
+    arrays = {
+        "X": X,
+        "W1": np.zeros((n, 1, 110, 110), np.float32),
+        "W2": np.zeros((n, 2, 22, 22), np.float32),
+        "W3": np.zeros((n, 1, 11, 11), np.float32),
+        "Y": Y,
+    }
+    return TileDataset.from_nchw(arrays), arrays
 
 
 def log(msg):
@@ -60,7 +117,9 @@ def run_config(name, dataset, loss_cfg, t_cfg, records):
     from deepbedmap_tpu.train.loop import _metrics_to_host, make_epoch_fns
     from deepbedmap_tpu.train.state import create_gan_state
 
-    g_cfg = GeneratorConfig()
+    g_cfg = GeneratorConfig(
+        num_residual_blocks=int(os.environ.get("RRDB", "12"))
+    )
     g_model = Generator(g_cfg)
     d_model = Discriminator(DiscriminatorConfig())
     state = create_gan_state(g_cfg, t_cfg=t_cfg)
@@ -75,6 +134,27 @@ def run_config(name, dataset, loss_cfg, t_cfg, records):
         epoch_batches(dev_idx, min(t_cfg.batch_size, len(dev_idx)),
                       np.random.RandomState(t_cfg.split_seed))
     )
+
+    # roughness probe: median rolling-std (viz.analysis, the paper's
+    # roughness statistic) of the DETRENDED dev tiles — the smooth component
+    # is reconstructed exactly (the task's bilinear upsample of X), so the
+    # statistic isolates the stochastic roughness: rough_real ~ ROUGH_AMP,
+    # rough_gen ~ 0 for a pointwise-only generator, -> rough_real when the
+    # adversarial term drives realistic hallucination
+    from deepbedmap_tpu.viz.analysis import standard_deviation_2d
+
+    probe_batch = dataset.take(dev_batches[0])
+
+    @jax.jit
+    def roughness_probe(g_params):
+        pred = g_model.apply({"params": g_params}, probe_batch["X"],
+                             probe_batch["W1"], probe_batch["W2"],
+                             probe_batch["W3"])
+        smooth = jax.vmap(
+            lambda x: jax.image.resize(x[1:-1, 1:-1, 0], (36, 36), "linear")
+        )(probe_batch["X"])
+        med = lambda a: jnp.nanmedian(jax.vmap(standard_deviation_2d)(a))
+        return med(pred[..., 0] - smooth), med(probe_batch["Y"][..., 0] - smooth)
 
     def to_rmse(psnr_val):
         # PSNR (data_range 2^32, reference convention) -> RMSE in metres
@@ -93,6 +173,9 @@ def run_config(name, dataset, loss_cfg, t_cfg, records):
             **_metrics_to_host(dev_metrics, "val_"),
         }
         rec["val_rmse"] = to_rmse(rec["val_generator_psnr"])
+        if TASK == "rough":
+            rg, rr = roughness_probe(state.g_params)
+            rec["rough_gen"], rec["rough_real"] = float(rg), float(rr)
         if state.g_ema is not None:
             # the EMA knob only matters if the *averaged* weights are what you
             # serve — evaluate them alongside the raw ones
@@ -106,7 +189,9 @@ def run_config(name, dataset, loss_cfg, t_cfg, records):
         if epoch % 5 == 0 or epoch == EPOCHS - 1:
             log(f"[{name}] epoch {epoch}: d_accu {rec['discriminator_accu']:.3f} "
                 f"val_rmse {rec['val_rmse']:.1f}"
-                + (f" ema {rec['val_rmse_ema']:.1f}" if "val_rmse_ema" in rec else ""))
+                + (f" ema {rec['val_rmse_ema']:.1f}" if "val_rmse_ema" in rec else "")
+                + (f" rough {rec['rough_gen']:.1f}/{rec['rough_real']:.1f}"
+                   if "rough_gen" in rec else ""))
     log(f"[{name}] done in {time.perf_counter() - t0:.0f} s")
     return records
 
@@ -118,18 +203,21 @@ def main():
     os.makedirs(OUT_DIR, exist_ok=True)
     if not APPEND:
         open(os.path.join(OUT_DIR, "records.jsonl"), "w").close()
-    log(f"devices: {jax.devices()}")
-    dataset, _ = build_synthetic_sr_dataset(TILES, seed=0)
+    log(f"devices: {jax.devices()}  task={TASK}")
+    if TASK == "rough":
+        dataset, _ = build_roughness_sr_dataset(TILES, seed=0, amp=ROUGH_AMP)
+    else:
+        dataset, _ = build_synthetic_sr_dataset(TILES, seed=0)
 
-    base_t = TrainConfig(batch_size=128)
-    ema_t = TrainConfig(batch_size=128, ema_decay=0.999)
+    base_t = TrainConfig(batch_size=BATCH)
+    ema_t = TrainConfig(batch_size=BATCH, ema_decay=0.999)
     steps_per_epoch = int(TILES * base_t.train_fraction) // base_t.batch_size
 
     spec = os.environ.get("GAN_CONFIGS", "")
     if spec:
         # e.g. GAN_CONFIGS='[{"name":"S300hl17","sigma":300,"hl_epochs":17,
-        #                     "ema":false,"diffadv":false,"d_lr":0.1}]'
-        #      EPOCHS=10 APPEND=1
+        #                     "ema":false,"diffadv":false,"d_lr":0.1,
+        #                     "adv_w":0.0}]'  EPOCHS=10 APPEND=1
         configs = []
         for c in json.loads(spec):
             hl = c.get("hl_epochs", 0) * steps_per_epoch
@@ -137,12 +225,16 @@ def main():
             if c.get("d_lr", 1.0) != 1.0:
                 # inverted TTUR: slow the discriminator's Adam
                 t = dataclasses.replace(t, d_lr_scale=c["d_lr"])
+            loss_kw = {}
+            if "adv_w" in c:  # adv_w=0 -> the pointwise-only ablation
+                loss_kw["adversarial_weight"] = c["adv_w"]
             configs.append((
                 c["name"],
                 LossConfig(
                     d_instance_noise=c.get("sigma", 0.0),
                     instance_noise_half_life_steps=hl,
                     differentiable_adversarial=c.get("diffadv", False),
+                    **loss_kw,
                 ),
                 t,
             ))
@@ -179,6 +271,11 @@ def main():
         rmse = f"{rs_[-1]['val_rmse']:.1f}"
         if "val_rmse_ema" in rs_[-1]:
             rmse += f" (ema {rs_[-1]['val_rmse_ema']:.1f})"
+        if "rough_gen" in rs_[-1]:
+            rmse += (
+                f" rough {rs_[-1]['rough_gen']:.1f}"
+                f"/{rs_[-1]['rough_real']:.1f}"
+            )
         lines.append(
             f"| {name} | {min(acc):.3f}..{max(acc):.3f} | "
             f"{np.mean(acc):.3f} | {rmse} |"

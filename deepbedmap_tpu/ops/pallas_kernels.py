@@ -137,6 +137,8 @@ def deform_conv2d_pallas(
     ``kernel_body``: 'stacked' (sy-slabs and tap contractions batched into
     large matmuls — fastest at every clamp, measured 20.8 ms clamp=2 /
     18.7 ms clamp=1 at 1144^2 x 64 vs banded 50 ms and rolls 25 ms),
+    'stacked_packed' (v4: one shared slab + one lane-concatenated sampling
+    dot per kernel row — 3x fewer MXU instructions at equal passes),
     'banded' (v1 S-matrix matmuls), 'rolls' (static lane rotations), or
     'auto' (= 'stacked').
     """
@@ -204,7 +206,7 @@ def deform_conv2d_pallas(
     assert not mxu_bf16 or kernel_body == "banded", (
         "mxu_bf16 applies to the 'banded' body only"
     )
-    if kernel_body == "stacked":
+    if kernel_body in ("stacked", "stacked_packed"):
         # tap-stacked contraction matrix: column block t holds weight[u,v,:,:]
         w_t = jnp.transpose(weight.reshape(k, c_in, c_out), (2, 0, 1)).reshape(
             c_out, k * c_in
@@ -227,8 +229,11 @@ def deform_conv2d_pallas(
         "banded": _deform_rows_kernel,
         "rolls": _deform_rolls_kernel,
         "stacked": _deform_stacked_kernel,
+        "stacked_packed": _deform_stacked_kernel,
     }[kernel_body]
     extra = {"mxu_bf16": mxu_bf16} if kernel_body == "banded" else {}
+    if kernel_body == "stacked_packed":
+        extra = {"pack_taps": True}
     kernel = functools.partial(
         body,
         bh=bh,
@@ -293,6 +298,7 @@ def _deform_stacked_kernel(
     clamp: int,
     kh: int,
     kw: int,
+    pack_taps: bool = False,
 ):
     """Banded-matmul body v3: identical decomposition to
     ``_deform_rows_kernel`` with the MXU work batched into large matmuls.
@@ -306,7 +312,14 @@ def _deform_stacked_kernel(
     outputs are concatenated for a single (C_out,K*C)@(K*C,128) contraction —
     6x fewer MXU instructions at equal FLOPs. The static band masks
     (band == sx per tap column v) are hoisted out of the row loop.
-    """
+
+    ``pack_taps`` (v4): the three taps sharing a kernel row u reuse ONE
+    (span*C, 128) slab (the x window persists across the tap loop instead of
+    being re-sliced per tap) and their three sampling matrices are
+    lane-concatenated into a single (6*C,128)@(128,3*128) dot — the same
+    pass count in 3x fewer MXU instructions and 3x fewer slab
+    materialisations (the dy-packing lever that won 10% on the RDB kernel,
+    ops/pallas_rdb.py)."""
     k = kh * kw
     c_in = x_ref.shape[3]
     c_out = out_ref.shape[3]
@@ -326,43 +339,64 @@ def _deform_stacked_kernel(
             (band == sx).astype(jnp.float32) for sx in range(-clamp, clamp + 2)
         ]
 
+    def tap_weights(r, t, v):
+        """Per-tap sampling matrix (lane mixing) + bilinear row weights."""
+        dy = jnp.clip(
+            off_ref[0, r, t, 0, :].astype(jnp.float32), -clamp, clamp
+        )
+        dx = jnp.clip(
+            off_ref[0, r, k + t, 0, :].astype(jnp.float32), -clamp, clamp
+        )
+        iy = jnp.floor(dy)
+        ix = jnp.floor(dx)
+        fy = dy - iy
+        fx = dx - ix
+
+        s_mat = jnp.zeros((_LANES, _LANES), jnp.float32)
+        for si, sx in enumerate(range(-clamp, clamp + 2)):
+            wx = ((1.0 - fx) * (ix == sx) + fx * (ix == sx - 1)) * valid
+            s_mat = s_mat + band_masks[v][si] * wx[None, :]
+
+        wy = jnp.stack(
+            [
+                (1.0 - fy) * (iy == sy) + fy * (iy == sy - 1)
+                for sy in range(-clamp, clamp + 2)
+            ]
+        )  # (span, 128)
+        return s_mat, wy
+
     def row_body(r, _):
         # all 8 sample rows this output row can touch: u-p+sy in [-3, 4]
         stack = x_ref[0, pl.ds(r + row_halo - clamp - padding, span + kh - 1), 0]
         # (span+kh-1, C, 128)
 
         tap_outs = []
-        for t in range(k):
-            u, v = t // kw, t % kw
-            dy = jnp.clip(
-                off_ref[0, r, t, 0, :].astype(jnp.float32), -clamp, clamp
-            )
-            dx = jnp.clip(
-                off_ref[0, r, k + t, 0, :].astype(jnp.float32), -clamp, clamp
-            )
-            iy = jnp.floor(dy)
-            ix = jnp.floor(dx)
-            fy = dy - iy
-            fx = dx - ix
-
-            s_mat = jnp.zeros((_LANES, _LANES), jnp.float32)
-            for si, sx in enumerate(range(-clamp, clamp + 2)):
-                wx = ((1.0 - fx) * (ix == sx) + fx * (ix == sx - 1)) * valid
-                s_mat = s_mat + band_masks[v][si] * wx[None, :]
-
-            # one (span*C, 128) @ (128, 128) dot covers every sy shift
-            slabs = stack[u : u + span].reshape(span * c_in, _LANES)
-            prod = jnp.dot(
-                slabs, s_mat, preferred_element_type=jnp.float32
-            ).reshape(span, c_in, _LANES)
-
-            wy = jnp.stack(
-                [
-                    (1.0 - fy) * (iy == sy) + fy * (iy == sy - 1)
-                    for sy in range(-clamp, clamp + 2)
-                ]
-            )  # (span, 128)
-            tap_outs.append(jnp.sum(prod * wy[:, None, :], axis=0))  # (C, 128)
+        if pack_taps:
+            for u in range(kh):
+                # ONE slab per kernel row, shared by its kw taps
+                slab = stack[u : u + span].reshape(span * c_in, _LANES)
+                mats, wys = zip(
+                    *(tap_weights(r, u * kw + v, v) for v in range(kw))
+                )
+                prod = jnp.dot(
+                    slab,
+                    jnp.concatenate(mats, axis=1),  # (128, kw*128)
+                    preferred_element_type=jnp.float32,
+                ).reshape(span, c_in, kw, _LANES)
+                tap_outs.extend(
+                    jnp.sum(prod[:, :, v, :] * wys[v][:, None, :], axis=0)
+                    for v in range(kw)
+                )  # kw x (C, 128), tap order u*kw + v
+        else:
+            for t in range(k):
+                u, v = t // kw, t % kw
+                s_mat, wy = tap_weights(r, t, v)
+                # one (span*C, 128) @ (128, 128) dot covers every sy shift
+                slabs = stack[u : u + span].reshape(span * c_in, _LANES)
+                prod = jnp.dot(
+                    slabs, s_mat, preferred_element_type=jnp.float32
+                ).reshape(span, c_in, _LANES)
+                tap_outs.append(jnp.sum(prod * wy[:, None, :], axis=0))
 
         y_all = jnp.concatenate(tap_outs, axis=0)  # (K*C, 128)
         acc = jnp.dot(w_ref[...], y_all, preferred_element_type=jnp.float32)

@@ -20,11 +20,17 @@ def case(rng):
     return map(jnp.asarray, (x, offsets, weight, bias))
 
 
-def test_pallas_matches_shifts(case):
+@pytest.mark.parametrize("body", ["stacked", "stacked_packed", "banded", "rolls"])
+def test_pallas_matches_shifts(case, body):
+    """Every kernel body is the same sampling math in a different dot
+    decomposition ('stacked_packed' shares one slab + one lane-concatenated
+    sampling matmul across the taps of a kernel row) — all must match the
+    masked-shifts oracle."""
     x, offsets, weight, bias = case
     via_shifts = deform_conv2d(x, offsets, weight, bias, method="shifts", clamp=2)
     via_pallas = deform_conv2d_pallas(
-        x, offsets, weight, bias, clamp=2, block_rows=8, interpret=True
+        x, offsets, weight, bias, clamp=2, block_rows=8, interpret=True,
+        kernel_body=body,
     )
     np.testing.assert_allclose(
         np.asarray(via_pallas), np.asarray(via_shifts), rtol=1e-5, atol=1e-5
