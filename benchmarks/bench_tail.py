@@ -117,7 +117,12 @@ def main():
     results = {}
 
     cfg = GeneratorConfig()
-    model, params = build_generator(cfg, lr=LAT + 2)
+    # init at the training lr: params are shape-independent (fully-conv
+    # model) and an eager init at continent shapes through the remote
+    # tunnel dispatches thousands of individual ops (measured: stuck >10
+    # min; bench.py and bench_components.py init at lr=11 for the same
+    # reason)
+    model, params = build_generator(cfg, lr=11)
 
     def t(name, ms):
         results[name] = round(ms, 2)
@@ -157,9 +162,13 @@ def main():
             bench_changing(lambda a: conv64(nearest_upsample(a, 2)), x),
         )
 
-    # --- input block ---
+    # --- input block (init at tiny shapes, same reason as build_generator) ---
     ib = InputBlock(cfg.inblock_channels, cfg.init_scale, None)
-    ib_params = ib.init(jax.random.PRNGKey(0), *xs)
+    xs_tiny = (
+        jnp.zeros((1, 11, 11, 1)), jnp.zeros((1, 110, 110, 1)),
+        jnp.zeros((1, 22, 22, 2)), jnp.zeros((1, 11, 11, 1)),
+    )
+    ib_params = jax.jit(ib.init)(jax.random.PRNGKey(0), *xs_tiny)
     t(
         "input_block",
         bench_changing(lambda x_: ib.apply(ib_params, x_, *xs[1:]), xs[0]),
@@ -167,12 +176,13 @@ def main():
 
     # --- deform layers at out res (module = offset conv + sampler) ---
     hi = jnp.asarray(rs.rand(1, 4 * LAT, 4 * LAT, 64), jnp.float32)
+    tiny64 = jnp.zeros((1, 16, 16, 64))
     d1 = DeformableConv(64, cfg.init_scale, None, clamp=cfg.deform_clamp)
-    d1p = d1.init(jax.random.PRNGKey(1), hi)
+    d1p = jax.jit(d1.init)(jax.random.PRNGKey(1), tiny64)
     log("compiling deform64 (pallas, ~1-2 min)...")
     t("deform64_full", bench_preserving(lambda a: d1.apply(d1p, a), hi))
     d2 = DeformableConv(1, cfg.init_scale, None, clamp=cfg.deform_clamp)
-    d2p = d2.init(jax.random.PRNGKey(2), hi)
+    d2p = jax.jit(d2.init)(jax.random.PRNGKey(2), tiny64)
     t("deform1_full", bench_changing(lambda a: d2.apply(d2p, a), hi))
 
     # offset conv alone (64 -> 18 at out res)
@@ -191,6 +201,33 @@ def main():
     # --- residual add + leaky at latent res (elementwise glue probe) ---
     x = jnp.asarray(rs.rand(1, LAT, LAT, 64), jnp.float32)
     t("residual_add_286", bench_preserving(lambda a: a + 0.1 * a, x))
+
+    # --- optional: 36-RDB fused-trunk timing at alternative band sizes
+    # (TRUNK_BANDS=36,41 — ceil-geometry candidates that cut total row
+    # extent vs band=32: 8x46=368 / 7x51=357 vs 9x42=378 row-units) ---
+    bands = os.environ.get("TRUNK_BANDS", "")
+    if bands:
+        from deepbedmap_tpu.ops.pallas_rdb import rdb_pallas
+
+        rsk = np.random.RandomState(7)
+        kernels, biases = [], []
+        for ci, co in zip((64, 96, 128, 160, 192), (32, 32, 32, 32, 64)):
+            kernels.append(
+                jnp.asarray(rsk.randn(3, 3, ci, co).astype(np.float32) * 0.05)
+            )
+            biases.append(jnp.asarray(rsk.randn(co).astype(np.float32) * 0.1))
+        xt = jnp.asarray(rsk.rand(1, LAT, LAT, 64).astype(np.float32))
+        for band in (int(b) for b in bands.split(",")):
+            log(f"compiling 36-RDB trunk band={band} (~2 min)...")
+
+            def trunk(a, band=band):
+                def body(c, _):
+                    return rdb_pallas(c, kernels, biases, 0.2, band=band), None
+
+                out, _ = lax.scan(body, a, None, length=36)
+                return out
+
+            t(f"trunk36_band{band}", bench_preserving(trunk, xt, iters=3))
 
     known = (
         results.get("input_block", 0)

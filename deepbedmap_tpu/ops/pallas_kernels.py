@@ -382,9 +382,20 @@ def _deform_stacked_kernel(
                     slab,
                     jnp.concatenate(mats, axis=1),  # (128, kw*128)
                     preferred_element_type=jnp.float32,
-                ).reshape(span, c_in, kw, _LANES)
+                )  # (span*C, kw*128)
+                # slice the 2-D dot result at lane multiples BEFORE the 3-D
+                # reshape: reducing a slice of a 4-D reshape trips Mosaic
+                # ("unsupported output implicit dimension" on the
+                # vector.multi_reduction); this form matches the layout the
+                # unpacked body lowers with
                 tap_outs.extend(
-                    jnp.sum(prod[:, :, v, :] * wys[v][:, None, :], axis=0)
+                    jnp.sum(
+                        prod[:, v * _LANES : (v + 1) * _LANES].reshape(
+                            span, c_in, _LANES
+                        )
+                        * wys[v][:, None, :],
+                        axis=0,
+                    )
                     for v in range(kw)
                 )  # kw x (C, 128), tap order u*kw + v
         else:
