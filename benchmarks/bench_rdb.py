@@ -22,6 +22,7 @@ import numpy as np
 from jax import lax
 
 from deepbedmap_tpu.ops.pallas_rdb import rdb_pallas as _rdb_pallas
+from deepbedmap_tpu.ops.pallas_rdb import rdb_reference as rdb_xla
 
 BAND = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 # PACK=0: per-dy dots (three narrow matmuls per source) instead of the
@@ -32,17 +33,6 @@ rdb_pallas = functools.partial(_rdb_pallas, pack_dys=PACK)
 
 def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
-
-
-def rdb_xla(x, kernels, biases, scaling):
-    acts = [x]
-    for j in range(5):
-        z = lax.conv_general_dilated(
-            jnp.concatenate(acts, -1), kernels[j], (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC")) + biases[j]
-        if j < 4:
-            acts.append(jnp.where(z >= 0, z, 0.2 * z))
-    return x + scaling * z
 
 
 def make_params(rs, F=64, G=32):

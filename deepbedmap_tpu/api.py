@@ -190,6 +190,7 @@ class DeepBedMap:
         halo_lr: int = 18,
         mesh=None,
         stream_product: bool = False,
+        tile_loop: str = "scan",
     ) -> Optional[Raster]:
         """Band-streamed whole-region prediction; optionally writes the int16
         LZW GeoTIFF product. Inputs follow the reference NCHW contract,
@@ -200,7 +201,11 @@ class DeepBedMap:
         overlaps compute; requires ``outfilepath``; returns None — the
         canvas is never materialised). The two compose: mesh + stream_product
         is the flagship production path — multi-chip tile sharding with the
-        GeoTIFF encode overlapped behind the mesh compute."""
+        GeoTIFF encode overlapped behind the mesh compute.
+        ``tile_loop``: 'scan' (device loop, default) or 'host' (one jitted
+        tile fn; ~25x faster first compile with the fused Pallas trunk —
+        see inference.continent._make_band_predictor). Single-device paths
+        only; the mesh path shards tiles instead of looping."""
         from deepbedmap_tpu.inference import (
             TilePlan,
             predict_continent,
@@ -222,7 +227,7 @@ class DeepBedMap:
             assert outfilepath is not None, "stream_product needs outfilepath"
             predict_continent_to_geotiff(
                 self.forward_fn(), host_inputs, plan, bounds, outfilepath,
-                mesh=mesh,
+                mesh=mesh, tile_loop=tile_loop,
             )
             return None
         if mesh is not None:
@@ -230,7 +235,9 @@ class DeepBedMap:
                 self.forward_fn(), host_inputs, plan, mesh
             )
         else:
-            canvas = predict_continent(self.forward_fn(), host_inputs, plan)
+            canvas = predict_continent(
+                self.forward_fn(), host_inputs, plan, tile_loop=tile_loop
+            )
         if outfilepath is not None:
             save_continent_dem(canvas, bounds, outfilepath)
         return Raster(canvas, left=xmin, top=ymax, res=self.resolution)

@@ -352,6 +352,7 @@ def cmd_continent(args) -> int:
         halo_lr=args.halo_lr,
         mesh=mesh,
         stream_product=args.stream,
+        tile_loop=args.tile_loop,
     )
     _emit(
         {
@@ -422,9 +423,22 @@ def cmd_verify_weights(args) -> int:
         return 1
 
     finite = np.isfinite(expected)
+    if not finite.any():
+        # an all-nodata/NaN expected grid compares nothing — that is a
+        # failed verification, not a vacuous pass
+        _emit(
+            {
+                "command": "verify-weights",
+                "pass": False,
+                "error": "expected grid has zero finite pixels over the "
+                "predicted region (wrong crop or nodata handling?)",
+                "pixels_compared": 0,
+            }
+        )
+        return 1
     diff = np.abs(pred[finite] - expected[finite])
-    max_abs = float(diff.max()) if diff.size else 0.0
-    rmse = float(np.sqrt(np.mean(diff**2))) if diff.size else 0.0
+    max_abs = float(diff.max())
+    rmse = float(np.sqrt(np.mean(diff**2)))
     ok = max_abs <= args.atol
     _emit(
         {
@@ -556,6 +570,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--halo-lr", type=int, default=18)
     c.add_argument("--mesh-devices", type=int, default=0, help="shard tiles over N devices")
     c.add_argument("--stream", action="store_true", help="pipe strips into the GeoTIFF (encode overlaps compute)")
+    c.add_argument(
+        "--tile-loop", choices=("scan", "host"), default="scan",
+        help="band tile iteration: 'host' = one jitted tile fn, ~25x faster "
+        "first compile with the fused Pallas trunk (single-device paths)",
+    )
     c.set_defaults(fn=cmd_continent)
 
     vw = sub.add_parser(

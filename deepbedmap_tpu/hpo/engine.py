@@ -215,7 +215,40 @@ class Study:
         pass  # parameter domains are re-declared by each suggest call
 
     def _record_intermediate(self, number, step, value):
-        pass
+        """Persist intermediate values as they are reported. Doubles as a
+        liveness heartbeat: the row's ``ts`` advances on every report, so
+        ``fail_stale_trials`` can tell a crashed worker's abandoned RUNNING
+        placeholder from a slow-but-alive trial."""
+        if self._db is None:
+            return
+        with self._db:
+            row = self._db.execute(
+                "SELECT intermediate FROM trials WHERE study=? AND number=?",
+                (self.study_name, number),
+            ).fetchone()
+            inter = json.loads(row[0] or "{}") if row else {}
+            inter[str(step)] = value
+            self._db.execute(
+                "UPDATE trials SET intermediate=?, ts=? WHERE study=? AND number=?",
+                (json.dumps(inter), time.time(), self.study_name, number),
+            )
+
+    def fail_stale_trials(self, ttl_seconds: float = 3600.0) -> int:
+        """Mark RUNNING rows whose last heartbeat (claim or report) is older
+        than ``ttl_seconds`` as FAIL. Reclaims placeholder rows abandoned by
+        crashed/killed workers, which would otherwise inflate trial counts
+        forever. Returns the number of rows reclaimed."""
+        if self._db is None:
+            return 0
+        cutoff = time.time() - ttl_seconds
+        with self._db:
+            cur = self._db.execute(
+                "UPDATE trials SET state=? WHERE study=? AND state=? AND ts<?",
+                (TrialState.FAIL, self.study_name, TrialState.RUNNING, cutoff),
+            )
+        if cur.rowcount:
+            self._load_trials()
+        return cur.rowcount
 
     # ---- sampling ----
     def _sample(self, name, low, high, step, log, is_int):
@@ -415,9 +448,15 @@ class Study:
         objective: Callable[[Trial], float],
         n_trials: int = 10,
         catch: tuple = (),
+        stale_ttl: Optional[float] = None,
     ):
+        """Run ``n_trials`` trials. ``stale_ttl``: when set and the study is
+        sqlite-backed, RUNNING rows with no heartbeat for that many seconds
+        are failed before each ask (reclaims crashed peers' placeholders)."""
         for _ in range(n_trials):
             if self._db is not None:
+                if stale_ttl is not None:
+                    self.fail_stale_trials(stale_ttl)
                 self._load_trials()  # pick up other processes' results
             trial = self.ask()
             try:

@@ -35,13 +35,26 @@ def _make_band_predictor(
     forward_fn: Callable[..., jax.Array],
     plan: TilePlan,
     clip_conditioning: bool,
+    tile_loop: str = "scan",
 ):
-    """jitted (band_inputs with vertical halo) -> (tile_out, out_w) strip."""
+    """jitted (band_inputs with vertical halo) -> (tile_out, out_w) strip.
+
+    ``tile_loop``: how the band's tiles are iterated.
+    - ``'scan'`` (default): one ``lax.scan`` dispatch per band — fewest host
+      round-trips, device-resident strip.
+    - ``'host'``: ONE jitted tile-update (traced tile index) driven by a host
+      loop. Numerically identical (same crop/update math, shared below).
+      Exists because a Pallas custom call inside ``lax.scan`` is pathological
+      for this image's uncached remote Mosaic compile (~25 min for the fused
+      trunk vs ~1 min for the single tile fn); dispatches stay async, so the
+      steady-state cost is one RTT per band fetch either way.
+    """
+    if tile_loop not in ("scan", "host"):
+        raise ValueError(f"tile_loop must be 'scan' or 'host', got {tile_loop!r}")
     gx = plan.grid[1]
     ratioed = {k: r for k, r in INPUT_RATIOS.items()}
 
-    @jax.jit
-    def band_predict(band_inputs: Dict[str, jax.Array]) -> jax.Array:
+    def prep(band_inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         if clip_conditioning:
             band_inputs = {
                 "X": band_inputs["X"],
@@ -57,31 +70,55 @@ def _make_band_predictor(
             padded[key] = jnp.pad(
                 band_inputs[key], ((0, 0), (0, 0), (p, p), (0, 0)), mode="edge"
             )
+        return padded
 
-        def tile(tx):
-            crops = {}
-            for key, ratio in ratioed.items():
-                a = padded[key]
-                size = plan.crop_lr * ratio
-                start = tx * plan.tile_lr * ratio
-                crops[key] = jax.lax.dynamic_slice(
-                    a, (0, 0, start, 0), (1, a.shape[1], size, a.shape[3])
-                )
-            pred = forward_fn(crops["X"], crops["W1"], crops["W2"], crops["W3"])
-            d = plan.discard_hr
-            return pred[0, d : pred.shape[1] - d, d : pred.shape[2] - d, 0]
-
-        def body(strip, tx):
-            strip = jax.lax.dynamic_update_slice(
-                strip, tile(tx), (0, tx * plan.tile_out)
+    def tile(padded: Dict[str, jax.Array], tx) -> jax.Array:
+        crops = {}
+        for key, ratio in ratioed.items():
+            a = padded[key]
+            size = plan.crop_lr * ratio
+            start = tx * plan.tile_lr * ratio
+            crops[key] = jax.lax.dynamic_slice(
+                a, (0, 0, start, 0), (1, a.shape[1], size, a.shape[3])
             )
-            return strip, None
+        pred = forward_fn(crops["X"], crops["W1"], crops["W2"], crops["W3"])
+        d = plan.discard_hr
+        return pred[0, d : pred.shape[1] - d, d : pred.shape[2] - d, 0]
 
-        strip0 = jnp.zeros((plan.tile_out, plan.out_w), jnp.float32)
-        strip, _ = jax.lax.scan(body, strip0, jnp.arange(gx))
+    if tile_loop == "scan":
+
+        @jax.jit
+        def band_predict(band_inputs: Dict[str, jax.Array]) -> jax.Array:
+            padded = prep(band_inputs)
+
+            def body(strip, tx):
+                strip = jax.lax.dynamic_update_slice(
+                    strip, tile(padded, tx), (0, tx * plan.tile_out)
+                )
+                return strip, None
+
+            strip0 = jnp.zeros((plan.tile_out, plan.out_w), jnp.float32)
+            strip, _ = jax.lax.scan(body, strip0, jnp.arange(gx))
+            return strip
+
+        return band_predict
+
+    prep_jit = jax.jit(prep)
+
+    @jax.jit
+    def tile_update(padded, strip, tx):
+        return jax.lax.dynamic_update_slice(
+            strip, tile(padded, tx), (0, tx * plan.tile_out)
+        )
+
+    def band_predict_host(band_inputs: Dict[str, jax.Array]) -> jax.Array:
+        padded = prep_jit(band_inputs)
+        strip = jnp.zeros((plan.tile_out, plan.out_w), jnp.float32)
+        for tx in range(gx):
+            strip = tile_update(padded, strip, jnp.int32(tx))
         return strip
 
-    return band_predict
+    return band_predict_host
 
 
 def _band_inputs(
@@ -118,11 +155,16 @@ def predict_continent(
     plan: TilePlan,
     clip_conditioning: bool = True,
     progress: Optional[Callable[[int, int], None]] = None,
+    tile_loop: str = "scan",
 ) -> np.ndarray:
     """Predict the full (out_h, out_w) DEM band by band; returns the host
-    canvas (float32)."""
+    canvas (float32). ``tile_loop='host'`` trades one dispatch per band for a
+    ~25x faster first compile when the fused Pallas trunk is active (see
+    _make_band_predictor)."""
     gy, _ = plan.grid
-    band_predict = _make_band_predictor(forward_fn, plan, clip_conditioning)
+    band_predict = _make_band_predictor(
+        forward_fn, plan, clip_conditioning, tile_loop=tile_loop
+    )
 
     canvas = np.empty((plan.out_h, plan.out_w), np.float32)
     for band in range(gy):
@@ -234,6 +276,7 @@ def predict_continent_to_geotiff(
     compress: bool = True,
     progress: Optional[Callable[[int, int], None]] = None,
     mesh=None,
+    tile_loop: str = "scan",
 ) -> str:
     """Band-streamed inference piped straight into the int16 LZW GeoTIFF —
     a writer thread LZW-encodes and writes band strip i while the device
@@ -260,7 +303,9 @@ def predict_continent_to_geotiff(
             return band_strip(inputs_host, band)
 
     else:
-        band_predict = _make_band_predictor(forward_fn, plan, clip_conditioning)
+        band_predict = _make_band_predictor(
+            forward_fn, plan, clip_conditioning, tile_loop=tile_loop
+        )
 
         def compute_strip(band: int) -> np.ndarray:
             return np.asarray(band_predict(_band_inputs(inputs_host, plan, band)))

@@ -142,9 +142,14 @@ class ResidualDenseBlock(nn.Module):
 
         # 'always' bypasses the backend/size policy but the row-pitch
         # constraint is structural: the flattened layout needs (W+2) % 8 == 0
-        use_fused = (
-            self.fused == "always" and (x.shape[2] + 2) % 8 == 0
-        ) or (
+        # — a silent fallback there would make forced-kernel benchmarks and
+        # parity checks vacuous, so refuse loudly instead
+        if self.fused == "always" and (x.shape[2] + 2) % 8 != 0:
+            raise ValueError(
+                f"fused='always' requires (W+2) % 8 == 0 (got W={x.shape[2]}); "
+                "pad the input or use fused='auto'"
+            )
+        use_fused = self.fused == "always" or (
             self.fused == "auto"
             and self.dtype is None
             and should_fuse(x.shape)

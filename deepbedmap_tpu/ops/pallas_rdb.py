@@ -246,7 +246,7 @@ def rdb_reference(x, kernels, biases, scaling):
     return x + scaling * z
 
 
-def should_fuse(shape, w_pitch_ok=None) -> bool:
+def should_fuse(shape) -> bool:
     """Dispatch rule: the fused kernel wins on large (inference-scale) TPU
     images; training tiles and CPU stay on XLA (mirrors ops.deform_conv's
     auto policy)."""

@@ -116,7 +116,9 @@ def make_server(
 
         def _body(self):
             n = int(self.headers.get("Content-Length", 0))
-            if n > max_body_bytes:
+            if n < 0 or n > max_body_bytes:
+                # negative Content-Length would make rfile.read(n) read to
+                # EOF, defeating the cap — reject it alongside oversize bodies
                 raise ValueError(f"request body {n} B > {max_body_bytes} B cap")
             return json.loads(self.rfile.read(n)) if n else {}
 
@@ -162,8 +164,17 @@ def make_server(
                 raise ValueError(
                     f"window {px:.0f} px exceeds max_window_px={max_window_px}"
                 )
+            # cap the client-supplied crop padding too — otherwise it re-opens
+            # the resource hole max_window_px closes (padding enlarges every
+            # raster crop by 2*padding/res px per side)
+            padding = float(req.get("padding", 1000.0))
+            max_padding = max_window_px * dbm.resolution
+            if not (0.0 <= padding <= max_padding):
+                raise ValueError(
+                    f"padding {padding} m outside [0, {max_padding}] m cap"
+                )
             rasters = {k: get_raster(v) for k, v in req["rasters"].items()}
-            dem = dbm.predict(bounds, rasters, padding=req.get("padding", 1000.0))
+            dem = dbm.predict(bounds, rasters, padding=padding)
             out = req.get("out")
             result = {"shape": list(dem.data.shape), "bounds": list(bounds)}
             if out:

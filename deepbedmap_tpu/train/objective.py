@@ -120,13 +120,40 @@ def objective(
         epoch_batches(dev_idx, dev_bs, np.random.RandomState(t_cfg.split_seed))
     )
 
-    # staging dir for the best-weights npz the tracker uploads at trial end
+    # staging dir for the best-weights npz the tracker uploads at trial end;
+    # only a tracker consumes it, so without one no dir is created, and a
+    # temp staging dir is removed when the trial ends (the finally below)
+    weights_dir = None
+    tmp_weights = False
     if checkpoint_dir is not None:
         weights_dir = os.path.join(checkpoint_dir, f"trial_{trial.number}_weights")
-    else:
+    elif tracker is not None:
         import tempfile
 
         weights_dir = tempfile.mkdtemp(prefix=f"dbm_trial_{trial.number}_")
+        tmp_weights = True
+
+    best_rmse = math.inf
+    try:
+        best_rmse = _run_epochs(
+            trial, hp, state, train_fn, eval_fn, train_idx, dev_batches, rs,
+            t_cfg, evaluate_rmse, log, tracker, g_model, checkpoint_dir,
+            rmse_save_threshold, rmse_upload_threshold, weights_dir,
+        )
+    finally:
+        if tmp_weights and weights_dir is not None:
+            import shutil
+
+            shutil.rmtree(weights_dir, ignore_errors=True)
+    return best_rmse
+
+
+def _run_epochs(
+    trial, hp, state, train_fn, eval_fn, train_idx, dev_batches, rs,
+    t_cfg, evaluate_rmse, log, tracker, g_model, checkpoint_dir,
+    rmse_save_threshold, rmse_upload_threshold, weights_dir,
+):
+    import jax.numpy as jnp
 
     best_rmse = math.inf
     for epoch in range(hp["num_epochs"]):

@@ -156,6 +156,44 @@ def test_hpo_concurrent_processes_lose_no_trials(tmp_path):
     assert all(t.value is not None and "x" in t.params for t in study.trials)
 
 
+def test_hpo_stale_running_trials_reclaimed(tmp_path):
+    """A worker that crashes after ask() leaves a RUNNING placeholder row;
+    fail_stale_trials must reclaim it (as FAIL) once its heartbeat — claim or
+    intermediate report — is older than the TTL, while live trials survive."""
+    import time
+
+    from deepbedmap_tpu.hpo.engine import TrialState
+
+    db = f"sqlite:///{tmp_path}/study.db"
+    s1 = create_study(storage=db, sampler_seed=0)
+    ghost = s1.ask()  # simulated crash: never told
+    ghost.suggest_float("x", 0.0, 1.0)
+
+    s2 = create_study(storage=db, sampler_seed=1)
+    live = s2.ask()
+    live.suggest_float("x", 0.0, 1.0)
+    time.sleep(0.6)
+    live.report(0.5, 0)  # heartbeat: report() advances the row's ts
+
+    # only the ghost is stale at a TTL that postdates its claim but
+    # predates the live trial's report
+    s3 = create_study(storage=db)
+    reclaimed = s3.fail_stale_trials(ttl_seconds=0.5)
+    assert reclaimed == 1
+    states = {t.number: t.state for t in s3.trials}
+    assert states[ghost.number] == TrialState.FAIL
+    assert states[live.number] == TrialState.RUNNING
+    # the live trial's intermediate report is visible cross-process
+    inter = next(t for t in s3.trials if t.number == live.number).intermediate
+    assert inter == {0: 0.5}
+    # the live trial can still complete
+    s2.tell(live, TrialState.COMPLETE, 0.5)
+    s4 = create_study(storage=db)
+    assert {t.number: t.state for t in s4.trials}[live.number] == (
+        TrialState.COMPLETE
+    )
+
+
 def test_hpo_suggest_int_and_fixed():
     study = create_study(sampler_seed=0)
     trial = study.ask(fixed={"blocks": 12})

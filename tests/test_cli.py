@@ -220,3 +220,15 @@ def test_cli_verify_weights_rehearsal(capsys, tmp_path):
          "--blocks", "2", "--atol", "1e-5"],
     )
     assert rc2 == 1 and res2["pass"] is False
+
+    # an all-NaN expected grid compares zero pixels — that must be a FAIL,
+    # not a vacuous pass (wrong crop / nodata handling)
+    np.save(str(tmp_path / "allnan.npy"), np.full_like(expected, np.nan))
+    rc3, res3 = run_cli(
+        capsys,
+        ["verify-weights", "--npz", npz, "--inputs", arrays,
+         "--expected", str(tmp_path / "allnan.npy"),
+         "--blocks", "2", "--atol", "1e-5"],
+    )
+    assert rc3 == 1 and res3["pass"] is False
+    assert res3["pixels_compared"] == 0 and "finite" in res3["error"]

@@ -47,6 +47,25 @@ def test_band_streaming_matches_whole_region(forward):
     )
 
 
+def test_host_tile_loop_matches_scan(forward):
+    """tile_loop='host' (one jitted tile fn driven from the host — the
+    fast-first-compile path for the fused Pallas trunk) must be numerically
+    identical to the default device-side lax.scan loop."""
+    plan = TilePlan(out_h=96, out_w=96, tile_out=32, halo_lr=3)
+    inputs = _host_inputs(plan, seed=3)
+    via_scan = predict_continent(
+        forward, inputs, plan, clip_conditioning=True, tile_loop="scan"
+    )
+    via_host = predict_continent(
+        forward, inputs, plan, clip_conditioning=True, tile_loop="host"
+    )
+    # same crop/forward/update math; tolerance only for XLA fusion-order
+    # differences between the scanned and per-tile programs
+    np.testing.assert_allclose(via_host, via_scan, rtol=1e-6, atol=1e-7)
+    with pytest.raises(ValueError):
+        predict_continent(forward, inputs, plan, tile_loop="bogus")
+
+
 def test_conditioning_clip(forward):
     plan = TilePlan(out_h=32, out_w=32, tile_out=32, halo_lr=2)
     inputs = _host_inputs(plan)

@@ -174,6 +174,51 @@ def test_oversize_body_and_window_rejected(server):
     assert status == 500 and "max_window_px" in body["error"]
 
 
+def test_huge_padding_rejected(server):
+    """Client padding expands every raster crop — uncapped it re-opens the
+    resource hole max_window_px closes."""
+    base, raster_paths, _ = server
+    status, body = _post(
+        base,
+        "/predict",
+        {
+            "bounds": [0.0, 0.0, 1000.0, 1000.0],
+            "rasters": raster_paths,
+            "padding": 1e9,
+        },
+    )
+    assert status == 500 and "padding" in body["error"]
+    status, body = _post(
+        base,
+        "/predict",
+        {
+            "bounds": [0.0, 0.0, 1000.0, 1000.0],
+            "rasters": raster_paths,
+            "padding": -1.0,
+        },
+    )
+    assert status == 500 and "padding" in body["error"]
+
+
+def test_negative_content_length_rejected(server):
+    """Content-Length: -1 would make rfile.read(-1) buffer the stream to EOF,
+    bypassing max_body_bytes."""
+    import http.client
+
+    base, _, _ = server
+    host = base.removeprefix("http://")
+    conn = http.client.HTTPConnection(host, timeout=30)
+    try:
+        conn.putrequest("POST", "/predict", skip_accept_encoding=True)
+        conn.putheader("Content-Length", "-1")
+        conn.endheaders()
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        assert resp.status == 500 and "cap" in body["error"]
+    finally:
+        conn.close()
+
+
 def test_bearer_token_required(tmp_path):
     dbm = DeepBedMap(cfg=TINY)
     srv = make_server(dbm, data_root=str(tmp_path), token="s3cret")
