@@ -33,6 +33,10 @@ def main():
     from deepbedmap_tpu.inference.engine import TilePlan
     from deepbedmap_tpu.models import build_generator
 
+    # argv[1]: band tile iteration ('scan' = device loop, 'host' = one jitted
+    # tile fn — the fast-first-compile path; see _make_band_predictor)
+    tile_loop = sys.argv[1] if len(sys.argv) > 1 else "scan"
+
     plan = TilePlan(out_h=18000, out_w=22000)  # the reference geometry
     gy, gx = plan.grid
     assert (gy, gx) == (18, 22) and plan.num_tiles == 396
@@ -42,7 +46,9 @@ def main():
     def forward_fn(x, w1, w2, w3):
         return model.apply({"params": params}, x, w1, w2, w3)
 
-    band_predict = _make_band_predictor(forward_fn, plan, clip_conditioning=True)
+    band_predict = _make_band_predictor(
+        forward_fn, plan, clip_conditioning=True, tile_loop=tile_loop
+    )
 
     lh, lw = plan.lr_shape
     band_rows = plan.tile_lr + 2 * plan.pad_lr  # 288 lr rows incl. halo
@@ -57,10 +63,23 @@ def main():
             "W3": jax.random.normal(ks[3], (1, band_rows, lw, 1), jnp.float32),
         }
 
-    # compile + warm
+    # compile + warm (timed: the scan/host tile-loop compile gap is itself a
+    # headline — the fused trunk inside lax.scan is ~25 min through this
+    # image's uncached remote Mosaic tunnel, the host loop ~1 min)
+    t0 = time.perf_counter()
     band = make_band(jax.random.PRNGKey(0))
     strip = band_predict(band)
     _ = float(jnp.sum(strip))
+    print(
+        json.dumps(
+            {
+                "metric": "band_predictor_first_call",
+                "value": round(time.perf_counter() - t0, 1),
+                "unit": f"s (compile+run, tile_loop={tile_loop})",
+            }
+        ),
+        flush=True,
+    )
 
     start = time.perf_counter()
     checksum = 0.0

@@ -472,6 +472,7 @@ def cmd_serve(args) -> int:
         port=args.port,
         data_root=args.data_root,
         token=args.token,
+        bucket_px=args.bucket_px,
     )
     return 0
 
@@ -616,6 +617,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument(
         "--token", default=None,
         help="require 'Authorization: Bearer TOKEN' on predict/evaluate",
+    )
+    s.add_argument(
+        "--bucket-px", type=int, default=0,
+        help="round predict windows up to power-of-two buckets of this many "
+        "output px (multiple of 4; bounds the number of distinct compiles)",
     )
     s.set_defaults(fn=cmd_serve)
 

@@ -34,8 +34,10 @@ Security model:
 - request bodies are capped at ``max_body_bytes``; predict windows are capped
   at ``max_window_px`` output pixels per side. Note the jit cache is keyed on
   window *shape*: each new shape pays a compile, so even with the cap a
-  hostile client can burn CPU on compiles — keep the service behind auth on
-  anything but loopback.
+  hostile client can burn CPU on compiles — set ``bucket_px`` to bound the
+  distinct-shape count (windows round up to power-of-two buckets and the
+  result is sliced back), and keep the service behind auth on anything but
+  loopback.
 
 Start from the CLI: ``python -m deepbedmap_tpu serve --checkpoint CKPT
 --port 8500`` — or in-process via ``make_server`` (used by the tests).
@@ -46,6 +48,8 @@ from __future__ import annotations
 import json
 import os
 import threading
+
+import numpy as np
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -60,6 +64,7 @@ def make_server(
     max_body_bytes: int = 1 << 20,
     max_window_px: int = 8192,
     cache_entries: int = 16,
+    bucket_px: int = 0,
 ) -> ThreadingHTTPServer:
     """Build (not start) a ThreadingHTTPServer serving ``dbm``.
 
@@ -69,8 +74,21 @@ def make_server(
     ``data_root``: directory request paths must resolve into (default cwd).
     ``token``: if set, every endpoint except /healthz requires
     ``Authorization: Bearer <token>``.
+    ``bucket_px``: if > 0 (multiple of 4), round each predict window up to
+    the next power-of-two multiple of this many output pixels per axis and
+    slice the result back to the requested bounds — the jit cache is keyed
+    on window shape, so bucketing bounds the number of distinct compiles a
+    client can trigger to O(log^2 max_window_px) instead of unbounded (the
+    compile-DoS noted below). Costs up to 4x compute on worst-fit windows;
+    the served rasters must cover the bucketed (expanded-east/south)
+    window, else the expansion area is gap-filled.
     """
     from deepbedmap_tpu.data.raster import read_netcdf, write_netcdf
+
+    if bucket_px and (bucket_px < 4 or bucket_px % 4):
+        # output px come 4-per-lowres-px (250 m vs 1000 m grids): buckets
+        # must stay aligned to the 1000 m input grid
+        raise ValueError(f"bucket_px must be a multiple of 4, got {bucket_px}")
 
     root = os.path.realpath(data_root or os.getcwd())
     preloaded = dict(raster_cache or {})
@@ -174,7 +192,10 @@ def make_server(
                     f"padding {padding} m outside [0, {max_padding}] m cap"
                 )
             rasters = {k: get_raster(v) for k, v in req["rasters"].items()}
-            dem = dbm.predict(bounds, rasters, padding=padding)
+            if bucket_px:
+                dem = self._predict_bucketed(bounds, rasters, padding)
+            else:
+                dem = dbm.predict(bounds, rasters, padding=padding)
             out = req.get("out")
             result = {"shape": list(dem.data.shape), "bounds": list(bounds)}
             if out:
@@ -190,6 +211,35 @@ def make_server(
                     write_netcdf(dem, out_real)
                 result["out"] = out
             return self._json(result)
+
+        def _predict_bucketed(self, bounds, rasters, padding):
+            """Round the window up to the next power-of-two multiple of
+            ``bucket_px`` output pixels per axis (expanding east/south so the
+            origin is unchanged), predict, and slice back to the requested
+            pixels — bounding the set of distinct jit shapes."""
+            from deepbedmap_tpu.data.raster import Raster
+
+            xmin, ymin, xmax, ymax = bounds
+            res = dbm.resolution
+            w_px = max(1, int(round((xmax - xmin) / res)))
+            h_px = max(1, int(round((ymax - ymin) / res)))
+
+            def up(n: int) -> int:
+                b = bucket_px
+                while b < n:
+                    b *= 2
+                return b
+
+            bw, bh = up(w_px), up(h_px)
+            big = dbm.predict(
+                (xmin, ymax - bh * res, xmin + bw * res, ymax),
+                rasters,
+                padding=padding,
+            )
+            return Raster(
+                np.ascontiguousarray(big.data[:h_px, :w_px]),
+                left=xmin, top=ymax, res=res,
+            )
 
         def _evaluate(self, req):
             import pandas as pd
@@ -216,7 +266,10 @@ def serve_forever(
     port: int = 8500,
     data_root: Optional[str] = None,
     token: Optional[str] = None,
+    bucket_px: int = 0,
 ) -> None:
-    server = make_server(dbm, host, port, data_root=data_root, token=token)
+    server = make_server(
+        dbm, host, port, data_root=data_root, token=token, bucket_px=bucket_px
+    )
     print(f"serving DeepBedMap on {host}:{server.server_port}", flush=True)
     server.serve_forever()

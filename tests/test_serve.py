@@ -248,6 +248,49 @@ def test_bearer_token_required(tmp_path):
         thread.join(timeout=5)
 
 
+def test_bucketed_windows_match_direct_predict(tmp_path):
+    """bucket_px bounds the distinct-jit-shape count by rounding windows up
+    to power-of-two buckets; the sliced-back result must equal a direct
+    predict of the requested bounds (same pixels, same origin)."""
+    tmp = tmp_path
+    raster_paths = {}
+    rasters = _rasters()
+    for name, raster in rasters.items():
+        p = str(tmp / f"{name}.nc")
+        write_netcdf(raster, p)
+        raster_paths[name] = p
+
+    dbm = DeepBedMap(cfg=TINY)
+    with pytest.raises(ValueError):
+        make_server(dbm, data_root=str(tmp), bucket_px=6)  # not a multiple of 4
+    srv = make_server(dbm, data_root=str(tmp), bucket_px=8)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        # 3000x2000 m at 250 m/px = 12x8 px -> buckets to 16x8
+        bounds = [0.0, 25000.0, 3000.0, 27000.0]
+        out = str(tmp / "bucketed.nc")
+        status, body = _post(
+            base, "/predict",
+            {"bounds": bounds, "rasters": raster_paths, "out": out},
+        )
+        assert status == 200, body
+        assert body["shape"] == [8, 12]  # requested px, not the bucket
+        got = read_netcdf(out)
+        # contract: identical to predicting the expanded (bucketed) window
+        # and cropping — NOT to a direct small-window predict, whose east/
+        # south edge pixels see padding instead of real raster context
+        bucketed = dbm.predict((0.0, 25000.0, 4000.0, 27000.0), rasters)
+        np.testing.assert_allclose(
+            got.data, bucketed.data[:8, :12], rtol=1e-5, atol=1e-6
+        )
+        assert got.left == 0.0 and got.top == 27000.0 and got.res == 250.0
+    finally:
+        srv.shutdown()
+        thread.join(timeout=5)
+
+
 def test_cache_invalidates_on_rewrite(server):
     """A rewritten raster file must not be served stale (ADVICE r2: cache
     keyed by path only)."""
