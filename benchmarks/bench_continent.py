@@ -146,6 +146,10 @@ def main():
         dtype=np.int16,
         nodata=-2000.0,
         compress=True,
+        # the production default (predict_continent_to_geotiff): 8 uniform
+        # sub-strips per band, encoded on the native thread pool (no-op on
+        # this 1-core sandbox; real hosts parallelise the encode)
+        rows_per_strip=125,
     )
     strips: "queue.Queue" = queue.Queue(maxsize=2)
 

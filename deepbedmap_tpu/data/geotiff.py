@@ -527,7 +527,15 @@ class GeoTiffStripWriter:
         epsg: int = 3031,
         compress: bool = True,
         bigtiff: Optional[bool] = None,
+        rows_per_strip: Optional[int] = None,
     ):
+        """``rows_per_strip``: when set, each ``write_strip`` call is split
+        into TIFF strips of this many rows and the sub-strips LZW-encode in
+        PARALLEL (native thread pool) — without it a whole 1000-row continent
+        band is one single-threaded encode, which becomes the product
+        bottleneck once a mesh drops compute below encode time. Every
+        ``write_strip`` row count except the final one must be a multiple of
+        it (TIFF strips must share RowsPerStrip except the last)."""
         self.path = path
         self.height, self.width = height, width
         self.left, self.top, self.res = left, top, res
@@ -535,6 +543,7 @@ class GeoTiffStripWriter:
         self.nodata = nodata
         self.epsg = epsg
         self.compress = compress
+        self.rows_per_strip = rows_per_strip
         if bigtiff is None:  # conservative: decide from the uncompressed size
             bigtiff = height * width * self.dtype.itemsize + 65536 > 0xFFFF0000
         self.bigtiff = bigtiff
@@ -551,27 +560,35 @@ class GeoTiffStripWriter:
             )
 
     def write_strip(self, rows: np.ndarray) -> None:
-        """Append one strip of full-width rows (any row count; converted to
-        ``dtype`` with NaN -> nodata when set)."""
+        """Append one strip (or, with ``rows_per_strip``, a run of uniform
+        strips encoded in parallel) of full-width rows; converted to
+        ``dtype`` with NaN -> nodata when set."""
         assert rows.ndim == 2 and rows.shape[1] == self.width, rows.shape
         assert self._rows_written + rows.shape[0] <= self.height
         if self.nodata is not None and rows.dtype.kind == "f":
             rows = np.where(np.isfinite(rows), rows, self.nodata)
-        block = np.ascontiguousarray(rows.astype(self.dtype)).tobytes()
+        rows = np.ascontiguousarray(rows.astype(self.dtype))
+
+        rps = self.rows_per_strip or rows.shape[0]
+        chunks = [rows[i : i + rps] for i in range(0, rows.shape[0], rps)]
+        blocks = [c.tobytes() for c in chunks]
         if self.compress:
             nat = _native()
-            if nat is not None:
-                block = nat.lzw_encode(block)
+            if nat is not None and len(blocks) > 1:
+                blocks = nat.lzw_encode_blocks(blocks)  # parallel threads
+            elif nat is not None:
+                blocks = [nat.lzw_encode(blocks[0])]
             else:
-                block = _lzw_encode_py(block)
-        pos = self._f.tell()
-        self._offsets.append(pos)
-        self._counts.append(len(block))
-        self._strip_rows.append(rows.shape[0])
-        self._f.write(block)
-        if len(block) & 1:
-            self._f.write(b"\x00")
-        self._rows_written += rows.shape[0]
+                blocks = [_lzw_encode_py(b) for b in blocks]
+        for chunk, block in zip(chunks, blocks):
+            pos = self._f.tell()
+            self._offsets.append(pos)
+            self._counts.append(len(block))
+            self._strip_rows.append(chunk.shape[0])
+            self._f.write(block)
+            if len(block) & 1:
+                self._f.write(b"\x00")
+            self._rows_written += chunk.shape[0]
 
     def close(self) -> None:
         assert self._rows_written == self.height, (

@@ -147,6 +147,37 @@ def test_strip_writer_roundtrip(tmp_path):
     assert meta["crs_epsg"] == 3031
 
 
+def test_strip_writer_parallel_substrips(tmp_path):
+    """rows_per_strip splits each write into uniform TIFF strips encoded in
+    parallel (native thread pool); pixels, metadata and strip accounting must
+    match the one-strip-per-write layout exactly."""
+    from deepbedmap_tpu.data.geotiff import GeoTiffStripWriter, read_geotiff
+
+    rs = np.random.RandomState(7)
+    data = (rs.rand(48, 64) * 1000 - 500).astype(np.float32)
+    data[3, :9] = np.nan
+
+    paths = {}
+    for name, rps in (("mono", None), ("sub", 4)):
+        p = str(tmp_path / f"{name}.tif")
+        w = GeoTiffStripWriter(
+            p, height=48, width=64, left=0.0, top=6000.0, res=125.0,
+            dtype=np.int16, nodata=-2000.0, compress=True, rows_per_strip=rps,
+        )
+        w.write_strip(data[:16])
+        w.write_strip(data[16:32])
+        w.write_strip(data[32:])
+        w.close()
+        paths[name] = p
+
+    a, meta_a = read_geotiff(paths["mono"])
+    b, meta_b = read_geotiff(paths["sub"])
+    np.testing.assert_array_equal(a, b)
+    assert meta_a == meta_b
+    want = np.where(np.isfinite(data), data, -2000.0).astype(np.int16)
+    np.testing.assert_array_equal(b, want)
+
+
 def test_sharded_band_streaming_matches_single_device(forward):
     """predict_continent_sharded (band streaming x mesh-sharded tiles — the
     multi-chip production path) must equal the single-device band engine
