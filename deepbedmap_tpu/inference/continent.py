@@ -121,6 +121,41 @@ def _make_band_predictor(
     return band_predict_host
 
 
+def _run_band_pipeline(
+    dispatch: Callable[[Dict[str, np.ndarray], int], object],
+    fetch: Callable[[object], np.ndarray],
+    inputs_host: Dict[str, np.ndarray],
+    gy: int,
+    consume: Callable[[int, np.ndarray], None],
+    progress: Optional[Callable[[int, int], None]],
+    prefetch: int,
+) -> None:
+    """Software-pipelined band loop shared by every continent path.
+
+    jax dispatches are async (``dispatch`` returns an unfinished device
+    array; only ``fetch`` blocks), so running ``prefetch`` bands ahead
+    overlaps the NEXT band's host slicing + host->device transfer (and, on a
+    mesh, the reshard) with the CURRENT band's device compute. ``prefetch=0``
+    restores the strict serial loop (one band of inputs resident on device);
+    ``prefetch=1`` keeps two."""
+    from collections import deque
+
+    pending: "deque" = deque()
+
+    def drain_one():
+        band, fut = pending.popleft()
+        consume(band, fetch(fut))
+        if progress is not None:
+            progress(band + 1, gy)
+
+    for band in range(gy):
+        pending.append((band, dispatch(inputs_host, band)))
+        while len(pending) > max(prefetch, 0):
+            drain_one()
+    while pending:
+        drain_one()
+
+
 def _band_inputs(
     inputs_host: Dict[str, np.ndarray], plan: TilePlan, band: int
 ) -> Dict[str, jax.Array]:
@@ -156,35 +191,43 @@ def predict_continent(
     clip_conditioning: bool = True,
     progress: Optional[Callable[[int, int], None]] = None,
     tile_loop: str = "scan",
+    prefetch: int = 1,
 ) -> np.ndarray:
     """Predict the full (out_h, out_w) DEM band by band; returns the host
     canvas (float32). ``tile_loop='host'`` trades one dispatch per band for a
     ~25x faster first compile when the fused Pallas trunk is active (see
-    _make_band_predictor)."""
+    _make_band_predictor). ``prefetch``: bands dispatched ahead of the fetch
+    (see _run_band_pipeline; 0 = serial, one band resident on device)."""
     gy, _ = plan.grid
     band_predict = _make_band_predictor(
         forward_fn, plan, clip_conditioning, tile_loop=tile_loop
     )
-
     canvas = np.empty((plan.out_h, plan.out_w), np.float32)
-    for band in range(gy):
-        strip = band_predict(_band_inputs(inputs_host, plan, band))
-        canvas[band * plan.tile_out : (band + 1) * plan.tile_out] = np.asarray(strip)
-        if progress is not None:
-            progress(band + 1, gy)
+
+    def consume(band: int, strip: np.ndarray) -> None:
+        canvas[band * plan.tile_out : (band + 1) * plan.tile_out] = strip
+
+    _run_band_pipeline(
+        lambda ih, band: band_predict(_band_inputs(ih, plan, band)),
+        np.asarray,
+        inputs_host, gy, consume, progress, prefetch,
+    )
     return canvas
 
 
-def _make_sharded_band_strip(
+def _make_sharded_band_pipeline(
     forward_fn: Callable[..., jax.Array],
     plan: TilePlan,
     mesh,
     clip_conditioning: bool,
-) -> Callable[[Dict[str, np.ndarray], int], np.ndarray]:
-    """(inputs_host, band) -> (tile_out, out_w) strip, tiles sharded over the
-    mesh. Shared by the buffered (predict_continent_sharded) and streamed
-    (predict_continent_to_geotiff with mesh=) production paths so their band
-    geometry and numerics cannot diverge."""
+):
+    """(dispatch, fetch) for one mesh-sharded row band: dispatch slices the
+    band off the host rasters and launches the sharded tile prediction
+    (async — returns the unfinished (gx, T, T) device array); fetch blocks
+    and assembles the (tile_out, out_w) host strip. Shared by the buffered
+    (predict_continent_sharded) and streamed (predict_continent_to_geotiff
+    with mesh=) production paths so their band geometry and numerics cannot
+    diverge."""
     from deepbedmap_tpu.parallel.api import sharded_predict_tiles
 
     # Scope: single-controller (single-host) meshes only. Both continent paths
@@ -210,7 +253,7 @@ def _make_sharded_band_strip(
     )
     hpad = {k: band_plan.pad_lr * r for k, r in INPUT_RATIOS.items()}
 
-    def band_strip(inputs_host: Dict[str, np.ndarray], band: int) -> np.ndarray:
+    def dispatch(inputs_host: Dict[str, np.ndarray], band: int) -> jax.Array:
         band_inputs = _band_inputs(inputs_host, plan, band)
         prepped = {}
         for key, ratio in INPUT_RATIOS.items():
@@ -228,11 +271,28 @@ def _make_sharded_band_strip(
             forward_fn, prepped, band_plan, mesh, prepadded=True
         )
         assert tiles.shape == (gx, plan.tile_out, plan.tile_out)
+        return tiles
+
+    def fetch(tiles: jax.Array) -> np.ndarray:
         return np.asarray(tiles).transpose(1, 0, 2).reshape(
             plan.tile_out, plan.out_w
         )
 
-    return band_strip
+    return dispatch, fetch
+
+
+def _make_sharded_band_strip(
+    forward_fn: Callable[..., jax.Array],
+    plan: TilePlan,
+    mesh,
+    clip_conditioning: bool,
+) -> Callable[[Dict[str, np.ndarray], int], np.ndarray]:
+    """(inputs_host, band) -> (tile_out, out_w) strip (blocking form of
+    _make_sharded_band_pipeline, for callers that want one band now)."""
+    dispatch, fetch = _make_sharded_band_pipeline(
+        forward_fn, plan, mesh, clip_conditioning
+    )
+    return lambda inputs_host, band: fetch(dispatch(inputs_host, band))
 
 
 def predict_continent_sharded(
@@ -242,26 +302,30 @@ def predict_continent_sharded(
     mesh,
     clip_conditioning: bool = True,
     progress: Optional[Callable[[int, int], None]] = None,
+    prefetch: int = 1,
 ) -> np.ndarray:
     """Band streaming x mesh-sharded tiles — the multi-chip production path:
     each row band's inputs move to the mesh once (vertical halo = REAL
     neighbour rows, so output matches the single-device paths), and the
     band's tiles are predicted in parallel across the mesh
     (parallel.sharded_predict_tiles with prepadded vertical halos +
-    edge-padded horizontal halos). Memory per chip stays one band; speed
-    scales with the mesh.
+    edge-padded horizontal halos). Memory per chip stays ``1 + prefetch``
+    bands (the pipeline keeps the next band's transfer in flight behind the
+    current band's compute — see _run_band_pipeline); speed scales with the
+    mesh.
     """
     gy, _ = plan.grid
-    band_strip = _make_sharded_band_strip(
+    dispatch, fetch = _make_sharded_band_pipeline(
         forward_fn, plan, mesh, clip_conditioning
     )
     canvas = np.empty((plan.out_h, plan.out_w), np.float32)
-    for band in range(gy):
-        canvas[band * plan.tile_out : (band + 1) * plan.tile_out] = band_strip(
-            inputs_host, band
-        )
-        if progress is not None:
-            progress(band + 1, gy)
+
+    def consume(band: int, strip: np.ndarray) -> None:
+        canvas[band * plan.tile_out : (band + 1) * plan.tile_out] = strip
+
+    _run_band_pipeline(
+        dispatch, fetch, inputs_host, gy, consume, progress, prefetch
+    )
     return canvas
 
 
@@ -278,6 +342,7 @@ def predict_continent_to_geotiff(
     mesh=None,
     tile_loop: str = "scan",
     rows_per_strip: Optional[int] = None,
+    prefetch: int = 1,
 ) -> str:
     """Band-streamed inference piped straight into the int16 LZW GeoTIFF —
     a writer thread LZW-encodes and writes band strip i while the device
@@ -295,6 +360,10 @@ def predict_continent_to_geotiff(
     sub-strips per band so each band LZW-encodes on ~8 native threads — on a
     mesh the encode otherwise becomes the wall-clock floor (single-threaded
     ~45 s continent encode vs ~7 s 8-chip compute). 0 = one strip per band.
+
+    ``prefetch``: bands dispatched ahead of the blocking fetch, overlapping
+    the next band's host slice + transfer with the current band's compute
+    (see _run_band_pipeline). 0 = serial.
     """
     import queue
     import threading
@@ -308,20 +377,15 @@ def predict_continent_to_geotiff(
         else:
             rows_per_strip = 0  # no uniform divisor: one strip per band
     if mesh is not None:
-        band_strip = _make_sharded_band_strip(
+        dispatch, fetch = _make_sharded_band_pipeline(
             forward_fn, plan, mesh, clip_conditioning
         )
-
-        def compute_strip(band: int) -> np.ndarray:
-            return band_strip(inputs_host, band)
-
     else:
         band_predict = _make_band_predictor(
             forward_fn, plan, clip_conditioning, tile_loop=tile_loop
         )
-
-        def compute_strip(band: int) -> np.ndarray:
-            return np.asarray(band_predict(_band_inputs(inputs_host, plan, band)))
+        dispatch = lambda ih, band: band_predict(_band_inputs(ih, plan, band))
+        fetch = np.asarray
 
     xmin, ymin, xmax, ymax = bounds
     from deepbedmap_tpu.data.geotiff import GeoTiffStripWriter
@@ -358,14 +422,15 @@ def predict_continent_to_geotiff(
     t = threading.Thread(target=drain, daemon=True)
     t.start()
 
+    def consume(band: int, strip: np.ndarray) -> None:
+        if error:
+            raise error[0]
+        strips.put(strip)
+
     try:
-        for band in range(gy):
-            strip = compute_strip(band)
-            if error:
-                raise error[0]
-            strips.put(strip)
-            if progress is not None:
-                progress(band + 1, gy)
+        _run_band_pipeline(
+            dispatch, fetch, inputs_host, gy, consume, progress, prefetch
+        )
         strips.put(None)
         t.join()
         if error:

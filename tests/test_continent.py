@@ -66,6 +66,28 @@ def test_host_tile_loop_matches_scan(forward):
         predict_continent(forward, inputs, plan, tile_loop="bogus")
 
 
+def test_prefetch_depths_identical(forward):
+    """The software-pipelined band loop (prefetch>0: next band's transfer in
+    flight behind the current band's compute) must be bit-identical to the
+    serial loop, and progress must still fire once per band, in order."""
+    plan = TilePlan(out_h=96, out_w=64, tile_out=32, halo_lr=3)
+    inputs = _host_inputs(plan, seed=11)
+    seen = []
+    serial = predict_continent(
+        forward, inputs, plan, prefetch=0,
+        progress=lambda i, n: seen.append((i, n)),
+    )
+    assert seen == [(1, 3), (2, 3), (3, 3)]
+    for depth in (1, 4):
+        seen.clear()
+        piped = predict_continent(
+            forward, inputs, plan, prefetch=depth,
+            progress=lambda i, n: seen.append((i, n)),
+        )
+        np.testing.assert_array_equal(piped, serial)
+        assert seen == [(1, 3), (2, 3), (3, 3)]
+
+
 def test_conditioning_clip(forward):
     plan = TilePlan(out_h=32, out_w=32, tile_out=32, halo_lr=2)
     inputs = _host_inputs(plan)
