@@ -191,6 +191,8 @@ class DeepBedMap:
         mesh=None,
         stream_product: bool = False,
         tile_loop: str = "scan",
+        prefetch: int = 1,
+        rows_per_strip: Optional[int] = None,
     ) -> Optional[Raster]:
         """Band-streamed whole-region prediction; optionally writes the int16
         LZW GeoTIFF product. Inputs follow the reference NCHW contract,
@@ -205,7 +207,11 @@ class DeepBedMap:
         ``tile_loop``: 'scan' (device loop, default) or 'host' (one jitted
         tile fn; ~25x faster first compile with the fused Pallas trunk —
         see inference.continent._make_band_predictor). Single-device paths
-        only; the mesh path shards tiles instead of looping."""
+        only; the mesh path shards tiles instead of looping.
+        ``prefetch``: bands dispatched ahead of the blocking fetch (next
+        band's transfer overlaps current band's compute; 0 = serial).
+        ``rows_per_strip``: TIFF strip height for ``stream_product`` (None
+        = ~8 uniform sub-strips per band, parallel native LZW encode)."""
         from deepbedmap_tpu.inference import (
             TilePlan,
             predict_continent,
@@ -227,16 +233,18 @@ class DeepBedMap:
             assert outfilepath is not None, "stream_product needs outfilepath"
             predict_continent_to_geotiff(
                 self.forward_fn(), host_inputs, plan, bounds, outfilepath,
-                mesh=mesh, tile_loop=tile_loop,
+                mesh=mesh, tile_loop=tile_loop, prefetch=prefetch,
+                rows_per_strip=rows_per_strip,
             )
             return None
         if mesh is not None:
             canvas = predict_continent_sharded(
-                self.forward_fn(), host_inputs, plan, mesh
+                self.forward_fn(), host_inputs, plan, mesh, prefetch=prefetch
             )
         else:
             canvas = predict_continent(
-                self.forward_fn(), host_inputs, plan, tile_loop=tile_loop
+                self.forward_fn(), host_inputs, plan, tile_loop=tile_loop,
+                prefetch=prefetch,
             )
         if outfilepath is not None:
             save_continent_dem(canvas, bounds, outfilepath)

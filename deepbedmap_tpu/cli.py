@@ -353,6 +353,7 @@ def cmd_continent(args) -> int:
         mesh=mesh,
         stream_product=args.stream,
         tile_loop=args.tile_loop,
+        prefetch=args.prefetch,
     )
     _emit(
         {
@@ -575,6 +576,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--tile-loop", choices=("scan", "host"), default="scan",
         help="band tile iteration: 'host' = one jitted tile fn, ~25x faster "
         "first compile with the fused Pallas trunk (single-device paths)",
+    )
+    c.add_argument(
+        "--prefetch", type=int, default=1,
+        help="bands dispatched ahead of the blocking fetch (next band's "
+        "transfer overlaps compute; 0 = serial)",
     )
     c.set_defaults(fn=cmd_continent)
 
