@@ -137,7 +137,36 @@ def main():
     )
     fwd = lambda a: model.apply({"params": params}, *a)
     log("compiling full forward (pallas trunk + deform, ~2-6 min)...")
-    t("full_forward", bench_changing(lambda x_: fwd((x_,) + xs[1:]), xs[0], iters=5))
+    # UNROLLED repetition, not bench_changing's lax.scan: a scan around the
+    # full forward (which itself scans the fused Pallas trunk) is the known
+    # ~25-min pathological case for this image's uncached remote Mosaic
+    # compile (see RESULTS.md round-3 caveats; bench.py uses the same
+    # unrolled form, ~6 min). Perturb the input per rep to defeat CSE.
+    FWD_REPS = 3
+
+    @jax.jit
+    def fwd_many(x_):
+        acc = jnp.float32(0.0)
+        for i in range(FWD_REPS):
+            acc = acc + jnp.sum(fwd((x_ * (1.0 + 1e-6 * i),) + xs[1:]))
+        return acc
+
+    @jax.jit
+    def fwd_base(x_):
+        acc = jnp.float32(0.0)
+        for i in range(FWD_REPS):
+            acc = acc + jnp.sum(x_[:1, :1, :1, :1] * (1.0 + 1e-6 * i))
+        return acc
+
+    for f in (fwd_many, fwd_base):
+        float(f(xs[0]))  # compile + warm
+    t0 = time.perf_counter()
+    float(fwd_many(xs[0]))
+    t_run = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(fwd_base(xs[0]))
+    t_base = time.perf_counter() - t0
+    t("full_forward", (t_run - t_base) / FWD_REPS * 1e3)
 
     # --- stage params: one 3x3 conv at 64ch ---
     w64 = jnp.asarray(rs.randn(3, 3, 64, 64).astype(np.float32) * 0.05)
