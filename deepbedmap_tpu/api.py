@@ -193,6 +193,7 @@ class DeepBedMap:
         tile_loop: str = "scan",
         prefetch: int = 1,
         rows_per_strip: Optional[int] = None,
+        overviews: int = 0,
     ) -> Optional[Raster]:
         """Band-streamed whole-region prediction; optionally writes the int16
         LZW GeoTIFF product. Inputs follow the reference NCHW contract,
@@ -211,7 +212,10 @@ class DeepBedMap:
         ``prefetch``: bands dispatched ahead of the blocking fetch (next
         band's transfer overlaps current band's compute; 0 = serial).
         ``rows_per_strip``: TIFF strip height for ``stream_product`` (None
-        = ~8 uniform sub-strips per band, parallel native LZW encode)."""
+        = ~8 uniform sub-strips per band, parallel native LZW encode).
+        ``overviews``: with ``stream_product``, append this many 2x pyramid
+        levels as chained TIFF pages (nodata-aware average, built
+        incrementally; read back via read_geotiff(path, page=L))."""
         from deepbedmap_tpu.inference import (
             TilePlan,
             predict_continent,
@@ -229,12 +233,18 @@ class DeepBedMap:
         host_inputs = {
             k: np.asarray(v).transpose(0, 2, 3, 1) for k, v in inputs_nchw.items()
         }
+        if overviews and not stream_product:
+            raise ValueError(
+                "overviews are built incrementally by the streamed writer — "
+                "pass stream_product=True (the buffered save_continent_dem "
+                "path writes a single-page tiled GeoTIFF)"
+            )
         if stream_product:
             assert outfilepath is not None, "stream_product needs outfilepath"
             predict_continent_to_geotiff(
                 self.forward_fn(), host_inputs, plan, bounds, outfilepath,
                 mesh=mesh, tile_loop=tile_loop, prefetch=prefetch,
-                rows_per_strip=rows_per_strip,
+                rows_per_strip=rows_per_strip, overviews=overviews,
             )
             return None
         if mesh is not None:

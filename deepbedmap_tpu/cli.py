@@ -354,6 +354,7 @@ def cmd_continent(args) -> int:
         stream_product=args.stream,
         tile_loop=args.tile_loop,
         prefetch=args.prefetch,
+        overviews=args.overviews,
     )
     _emit(
         {
@@ -581,6 +582,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--prefetch", type=int, default=1,
         help="bands dispatched ahead of the blocking fetch (next band's "
         "transfer overlaps compute; 0 = serial)",
+    )
+    c.add_argument(
+        "--overviews", type=int, default=0,
+        help="with --stream: append N 2x overview pyramid levels as chained "
+        "TIFF pages (nodata-aware average, built incrementally)",
     )
     c.set_defaults(fn=cmd_continent)
 

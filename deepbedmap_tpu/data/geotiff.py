@@ -21,6 +21,7 @@ from typing import Dict, Optional
 import numpy as np
 
 # TIFF tag ids
+_T_SUBFILETYPE = 254  # NewSubfileType: 1 = reduced-resolution (overview) page
 _T_WIDTH, _T_HEIGHT = 256, 257
 _T_BITS, _T_COMPRESSION, _T_PHOTOMETRIC = 258, 259, 262
 _T_STRIP_OFFSETS, _T_SAMPLES, _T_ROWS_PER_STRIP, _T_STRIP_COUNTS = 273, 277, 278, 279
@@ -161,9 +162,14 @@ def _lzw_encode_py(data: bytes) -> bytes:
 # Reader
 # --------------------------------------------------------------------------
 
-def read_geotiff(path: str):
+def read_geotiff(path: str, page: int = 0):
     """Read a single-band GeoTIFF. Returns (array (H, W), meta dict) with
-    meta keys: left, top, res, nodata (maybe None), crs_epsg (maybe None)."""
+    meta keys: left, top, res, nodata (maybe None), crs_epsg (maybe None).
+
+    ``page``: IFD index along the TIFF page chain — 0 is the full-resolution
+    raster; pages >= 1 are the overview pyramid levels when the file carries
+    them (GeoTiffStripWriter(overviews=N); each page halves the resolution,
+    and its meta ``res`` reflects that)."""
     with open(path, "rb") as f:
         raw = f.read()
 
@@ -182,6 +188,14 @@ def read_geotiff(path: str):
         off_fmt = "Q"
     else:
         raise ValueError(f"bad TIFF magic {magic}")
+
+    ptr_size = 4 if magic == 42 else 8
+    for _ in range(page):  # walk the IFD chain to the requested page
+        (n,) = struct.unpack(bo + count_fmt, raw[ifd_off : ifd_off + count_size])
+        nxt = ifd_off + count_size + n * entry_size
+        ifd_off = struct.unpack(bo + off_fmt, raw[nxt : nxt + ptr_size])[0]
+        if ifd_off == 0:
+            raise ValueError(f"TIFF has no page {page}")
 
     (n_entries,) = struct.unpack(
         bo + count_fmt, raw[ifd_off : ifd_off + count_size]
@@ -528,6 +542,7 @@ class GeoTiffStripWriter:
         compress: bool = True,
         bigtiff: Optional[bool] = None,
         rows_per_strip: Optional[int] = None,
+        overviews: int = 0,
     ):
         """``rows_per_strip``: when set, each ``write_strip`` call is split
         into TIFF strips of this many rows and the sub-strips LZW-encode in
@@ -535,7 +550,17 @@ class GeoTiffStripWriter:
         band is one single-threaded encode, which becomes the product
         bottleneck once a mesh drops compute below encode time. Every
         ``write_strip`` row count except the final one must be a multiple of
-        it (TIFF strips must share RowsPerStrip except the last)."""
+        it (TIFF strips must share RowsPerStrip except the last).
+
+        ``overviews``: number of 2x reduced-resolution pyramid levels to
+        build INCREMENTALLY from the strips and append as chained TIFF pages
+        (NewSubfileType=1, the GDAL-internal-overview convention — what
+        ``gdaladdo -r average`` produces). Each level-L pixel is the exact
+        nodata-aware mean of its valid 2^L x 2^L source block (a sum/count
+        cascade, so cascading introduces no weighting error); all-invalid
+        blocks become nodata. Memory stays bounded: one pending row pair per
+        level plus at most one overview strip. Read levels back with
+        ``read_geotiff(path, page=L)``."""
         self.path = path
         self.height, self.width = height, width
         self.left, self.top, self.res = left, top, res
@@ -544,6 +569,20 @@ class GeoTiffStripWriter:
         self.epsg = epsg
         self.compress = compress
         self.rows_per_strip = rows_per_strip
+        self.overviews = overviews
+        self._ov_rps = max(1, rows_per_strip or 256)
+        self._ov_levels: list = []
+        h, w = height, width
+        for _ in range(overviews):
+            h, w = -(-h // 2), -(-w // 2)
+            self._ov_levels.append(
+                {
+                    "h": h, "w": w,
+                    "carry": None,  # (sum, count) row awaiting its pair
+                    "rows": [],     # (sum, count) rows pending strip flush
+                    "offsets": [], "counts": [], "strip_rows": [],
+                }
+            )
         if bigtiff is None:  # conservative: decide from the uncompressed size
             bigtiff = height * width * self.dtype.itemsize + 65536 > 0xFFFF0000
         self.bigtiff = bigtiff
@@ -565,6 +604,17 @@ class GeoTiffStripWriter:
         ``dtype`` with NaN -> nodata when set."""
         assert rows.ndim == 2 and rows.shape[1] == self.width, rows.shape
         assert self._rows_written + rows.shape[0] <= self.height
+        if self._ov_levels:
+            # feed the pyramid from the PRE-conversion values: NaN and
+            # nodata-valued pixels carry zero weight in the block means
+            vals = rows.astype(np.float64, copy=False)
+            valid = np.isfinite(vals)
+            if self.nodata is not None:
+                valid &= vals != self.nodata
+            weights = valid.astype(np.float64)
+            sums = np.where(valid, vals, 0.0)
+            for i in range(vals.shape[0]):
+                self._feed_overview(0, sums[i], weights[i])
         if self.nodata is not None and rows.dtype.kind == "f":
             rows = np.where(np.isfinite(rows), rows, self.nodata)
         rows = np.ascontiguousarray(rows.astype(self.dtype))
@@ -590,15 +640,126 @@ class GeoTiffStripWriter:
                 self._f.write(b"\x00")
             self._rows_written += chunk.shape[0]
 
+    # ---- overview pyramid (sum/count cascade) ----
+
+    def _feed_overview(self, level: int, srow: np.ndarray, crow: np.ndarray) -> None:
+        """Accept one (sum, count) row at level ``level``'s INPUT resolution
+        (full-res rows for level 0, level-(L-1) output rows otherwise)."""
+        lv = self._ov_levels[level]
+        if lv["carry"] is None:
+            lv["carry"] = (srow, crow)
+            return
+        s, c = lv["carry"][0] + srow, lv["carry"][1] + crow
+        lv["carry"] = None
+        self._emit_overview_row(level, s, c)
+
+    def _emit_overview_row(self, level: int, s: np.ndarray, c: np.ndarray) -> None:
+        """Column-pair a row-paired (sum, count) row into one level row,
+        cascade it downward, and flush a strip when enough rows accumulated."""
+        if s.shape[0] & 1:  # odd width: the last output column is a 2x1 block
+            s = np.append(s, 0.0)
+            c = np.append(c, 0.0)
+        s2, c2 = s[0::2] + s[1::2], c[0::2] + c[1::2]
+        lv = self._ov_levels[level]
+        lv["rows"].append((s2, c2))
+        if level + 1 < len(self._ov_levels):
+            self._feed_overview(level + 1, s2, c2)
+        if len(lv["rows"]) >= self._ov_rps:
+            self._flush_overview(level, final=False)
+
+    def _flush_overview(self, level: int, final: bool) -> None:
+        lv = self._ov_levels[level]
+        while len(lv["rows"]) >= self._ov_rps or (final and lv["rows"]):
+            take = lv["rows"][: self._ov_rps]
+            lv["rows"] = lv["rows"][self._ov_rps :]
+            s = np.stack([r[0] for r in take])
+            c = np.stack([r[1] for r in take])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                vals = s / c
+            fill = self.nodata if self.nodata is not None else 0.0
+            vals = np.where(c > 0, vals, fill)
+            if self.dtype.kind in "iu":
+                vals = np.rint(vals)
+            arr = np.ascontiguousarray(vals.astype(self.dtype))
+            block = arr.tobytes()
+            if self.compress:
+                nat = _native()
+                block = (
+                    nat.lzw_encode(block) if nat is not None
+                    else _lzw_encode_py(block)
+                )
+            pos = self._f.tell()
+            lv["offsets"].append(pos)
+            lv["counts"].append(len(block))
+            lv["strip_rows"].append(arr.shape[0])
+            self._f.write(block)
+            if len(block) & 1:
+                self._f.write(b"\x00")
+
+    def _finalize_overviews(self) -> None:
+        """Flush odd-row carries and remaining partial strips, top level
+        first so every flushed row still cascades to the deeper levels."""
+        for level, lv in enumerate(self._ov_levels):
+            if lv["carry"] is not None:  # odd height: a 1x2 tail block row
+                s, c = lv["carry"]
+                lv["carry"] = None
+                self._emit_overview_row(level, s, c)
+            self._flush_overview(level, final=True)
+            assert sum(lv["strip_rows"]) == lv["h"], (
+                level, sum(lv["strip_rows"]), lv["h"],
+            )
+
     def close(self) -> None:
         assert self._rows_written == self.height, (
             self._rows_written, self.height,
         )
+        self._finalize_overviews()
         # all strips must share RowsPerStrip except the last (TIFF contract)
         if len(self._strip_rows) > 1:
             assert len(set(self._strip_rows[:-1])) == 1, self._strip_rows
-        rps = self._strip_rows[0]
 
+        # one IFD per page: the full raster, then each overview level
+        # (NewSubfileType=1, res doubled per level), chained through the
+        # next-IFD pointers
+        pages = [
+            self._ifd_entries(
+                self.width, self.height, self._strip_rows[0],
+                self._offsets, self._counts, self.res, subfile=None,
+            )
+        ]
+        for level, lv in enumerate(self._ov_levels):
+            pages.append(
+                self._ifd_entries(
+                    lv["w"], lv["h"], lv["strip_rows"][0],
+                    lv["offsets"], lv["counts"],
+                    self.res * (2 ** (level + 1)), subfile=1,
+                )
+            )
+
+        prev_next_pos = None
+        first_ifd = None
+        for entries in pages:
+            ifd_off, next_pos = self._write_ifd(entries)
+            if prev_next_pos is None:
+                first_ifd = ifd_off
+            else:  # patch the previous page's next-IFD pointer
+                end = self._f.tell()
+                self._f.seek(prev_next_pos)
+                self._f.write(
+                    struct.pack("<" + ("I" if not self.bigtiff else "Q"), ifd_off)
+                )
+                self._f.seek(end)
+            prev_next_pos = next_pos
+        # patch the header's IFD pointer
+        self._f.seek(4 if not self.bigtiff else 8)
+        self._f.write(
+            struct.pack("<" + ("I" if not self.bigtiff else "Q"), first_ifd)
+        )
+        self._f.close()
+
+    def _ifd_entries(
+        self, width, height, rps, offsets, counts, res, subfile
+    ) -> list:
         dt = self.dtype
         sample_format = {"u": 1, "i": 2, "f": 3}[dt.kind]
         geo_keys = np.array(
@@ -611,20 +772,22 @@ class GeoTiffStripWriter:
             np.uint16,
         )
         entries = [
-            (_T_WIDTH, 3, [self.width]),
-            (_T_HEIGHT, 3, [self.height]),
+            (_T_WIDTH, 3, [width]),
+            (_T_HEIGHT, 3, [height]),
             (_T_BITS, 3, [dt.itemsize * 8]),
             (_T_COMPRESSION, 3, [5 if self.compress else 1]),
             (_T_PHOTOMETRIC, 3, [1]),
             (_T_SAMPLES, 3, [1]),
             (_T_ROWS_PER_STRIP, 3, [rps]),
-            (_T_STRIP_OFFSETS, 16 if self.bigtiff else 4, self._offsets),
-            (_T_STRIP_COUNTS, 4, self._counts),
+            (_T_STRIP_OFFSETS, 16 if self.bigtiff else 4, offsets),
+            (_T_STRIP_COUNTS, 4, counts),
             (_T_SAMPLE_FORMAT, 3, [sample_format]),
-            (_T_PIXEL_SCALE, 12, [self.res, self.res, 0.0]),
+            (_T_PIXEL_SCALE, 12, [res, res, 0.0]),
             (_T_TIEPOINT, 12, [0, 0, 0, self.left, self.top, 0.0]),
             (_T_GEO_KEYS, 3, geo_keys.tolist()),
         ]
+        if subfile is not None:
+            entries.append((_T_SUBFILETYPE, 4, [subfile]))
         if self.nodata is not None:
             nd = (
                 str(int(self.nodata))
@@ -633,7 +796,11 @@ class GeoTiffStripWriter:
             ).encode() + b"\x00"
             entries.append((_T_GDAL_NODATA, 2, nd))
         entries.sort(key=lambda e: e[0])
+        return entries
 
+    def _write_ifd(self, entries) -> tuple:
+        """Serialize one IFD (with a zeroed next-IFD pointer) at EOF.
+        Returns (ifd_offset, file position of the next-IFD pointer)."""
         bo = "<"
         if not self.bigtiff:
             entry_size, count_size, inline, off_fmt, count_fmt = 12, 2, 4, "I", "H"
@@ -643,9 +810,8 @@ class GeoTiffStripWriter:
         if self._f.tell() & 1:
             self._f.write(b"\x00")
         ifd_off = self._f.tell()
-        ifd_size = count_size + len(entries) * entry_size + (
-            4 if not self.bigtiff else 8
-        )
+        next_ptr_size = 4 if not self.bigtiff else 8
+        ifd_size = count_size + len(entries) * entry_size + next_ptr_size
         aux_cursor = ifd_off + ifd_size
 
         def payload_bytes(typ, values):
@@ -671,13 +837,11 @@ class GeoTiffStripWriter:
 
         self._f.write(struct.pack(bo + count_fmt, len(entries)))
         self._f.write(out_entries)
+        next_pos = self._f.tell()
         self._f.write(struct.pack(bo + off_fmt, 0))
         for chunk in aux_chunks:
             self._f.write(chunk)
-        # patch the header's IFD pointer
-        self._f.seek(4 if not self.bigtiff else 8)
-        self._f.write(struct.pack(bo + ("I" if not self.bigtiff else "Q"), ifd_off))
-        self._f.close()
+        return ifd_off, next_pos
 
     def __enter__(self):
         return self

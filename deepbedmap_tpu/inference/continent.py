@@ -343,6 +343,7 @@ def predict_continent_to_geotiff(
     tile_loop: str = "scan",
     rows_per_strip: Optional[int] = None,
     prefetch: int = 1,
+    overviews: int = 0,
 ) -> str:
     """Band-streamed inference piped straight into the int16 LZW GeoTIFF —
     a writer thread LZW-encodes and writes band strip i while the device
@@ -364,6 +365,11 @@ def predict_continent_to_geotiff(
     ``prefetch``: bands dispatched ahead of the blocking fetch, overlapping
     the next band's host slice + transfer with the current band's compute
     (see _run_band_pipeline). 0 = serial.
+
+    ``overviews``: 2x pyramid levels appended as chained TIFF pages, built
+    incrementally from the strips (nodata-aware block means; the
+    gdaladdo--r-average convention) — see GeoTiffStripWriter. The reference
+    ships its DEM without overviews; GIS use at continent scale wants them.
     """
     import queue
     import threading
@@ -401,6 +407,7 @@ def predict_continent_to_geotiff(
         nodata=nodataval,
         compress=compress,
         rows_per_strip=rows_per_strip or None,
+        overviews=overviews,
     )
     strips: "queue.Queue" = queue.Queue(maxsize=2)
     error: list = []

@@ -200,6 +200,121 @@ def test_strip_writer_parallel_substrips(tmp_path):
     np.testing.assert_array_equal(b, want)
 
 
+def _overview_oracle(data: np.ndarray, level: int, nodata: float) -> np.ndarray:
+    """Exact nodata-aware block mean at 2^level decimation (what gdaladdo
+    -r average computes): mean over the valid pixels of each block, nodata
+    when none are valid."""
+    h, w = data.shape
+    b = 2 ** level
+    out = np.full((-(-h // b), -(-w // b)), nodata, np.float64)
+    for i in range(out.shape[0]):
+        for j in range(out.shape[1]):
+            blk = data[i * b : (i + 1) * b, j * b : (j + 1) * b]
+            v = blk[np.isfinite(blk) & (blk != nodata)]
+            if v.size:
+                out[i, j] = v.mean()
+    return out
+
+
+def test_strip_writer_overview_pyramid(tmp_path):
+    """overviews=N appends chained reduced-resolution pages whose pixels are
+    the EXACT nodata-aware block means of the full raster (the sum/count
+    cascade introduces no reweighting error), at odd dims, across uneven
+    write_strip chunks, with scaled georeferencing per page."""
+    from deepbedmap_tpu.data.geotiff import GeoTiffStripWriter, read_geotiff
+
+    rs = np.random.RandomState(5)
+    data = (rs.rand(47, 53) * 1000 - 500).astype(np.float32)
+    data[3, :9] = np.nan
+    data[10:14, 20:30] = np.nan  # a hole spanning whole 2x2/4x4 blocks
+
+    p = str(tmp_path / "pyramid.tif")
+    w = GeoTiffStripWriter(
+        p, height=47, width=53, left=0.0, top=4700.0, res=100.0,
+        dtype=np.float32, nodata=-9999.0, compress=True, overviews=3,
+    )
+    w.write_strip(data[:16])
+    w.write_strip(data[16:32])
+    w.write_strip(data[32:])
+    w.close()
+
+    full, meta0 = read_geotiff(p, page=0)
+    np.testing.assert_allclose(
+        full, np.where(np.isfinite(data), data, -9999.0), rtol=1e-6
+    )
+    for level in (1, 2, 3):
+        got, meta = read_geotiff(p, page=level)
+        want = _overview_oracle(data.astype(np.float64), level, -9999.0)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-5)
+        assert meta["res"] == 100.0 * 2 ** level
+        assert meta["left"] == meta0["left"] and meta["top"] == meta0["top"]
+    with pytest.raises(ValueError):
+        read_geotiff(p, page=4)
+
+
+def test_overview_pages_readable_by_libtiff(tmp_path):
+    """The chained overview IFDs must be a well-formed multi-page TIFF to an
+    independent reader (PIL/libtiff), including with sub-strip encoding."""
+    from PIL import Image
+
+    from deepbedmap_tpu.data.geotiff import GeoTiffStripWriter, read_geotiff
+
+    rs = np.random.RandomState(6)
+    data = rs.randint(0, 255, size=(64, 96)).astype(np.uint8)
+    p = str(tmp_path / "pages.tif")
+    w = GeoTiffStripWriter(
+        p, height=64, width=96, left=0.0, top=64.0, res=1.0,
+        dtype=np.uint8, nodata=None, compress=True,
+        rows_per_strip=16, overviews=2,
+    )
+    w.write_strip(data[:32])
+    w.write_strip(data[32:])
+    w.close()
+
+    im = Image.open(p)
+    assert im.n_frames == 3
+    np.testing.assert_array_equal(np.array(im), data)
+    for level in (1, 2):
+        im.seek(level)
+        ours, _ = read_geotiff(p, page=level)
+        np.testing.assert_array_equal(np.array(im), ours)
+
+
+def test_streamed_product_with_overviews(tmp_path, forward):
+    """predict_continent_to_geotiff(overviews=) must leave page 0 identical
+    to the no-overview product and page 1 equal to the oracle decimation of
+    the written (int16) full-res pixels."""
+    from deepbedmap_tpu.data.geotiff import read_geotiff
+    from deepbedmap_tpu.inference.continent import predict_continent_to_geotiff
+
+    plan = TilePlan(out_h=96, out_w=64, tile_out=32, halo_lr=3)
+    inputs = _host_inputs(plan, seed=9)
+    bounds = (0.0, 0.0, plan.out_w * 250.0, plan.out_h * 250.0)
+
+    plain = str(tmp_path / "plain")
+    predict_continent_to_geotiff(
+        forward, inputs, plan, bounds, plain, clip_conditioning=False
+    )
+    withov = str(tmp_path / "withov")
+    predict_continent_to_geotiff(
+        forward, inputs, plan, bounds, withov,
+        clip_conditioning=False, overviews=2,
+    )
+    a, meta_a = read_geotiff(plain + ".tif")
+    b, meta_b = read_geotiff(withov + ".tif", page=0)
+    np.testing.assert_array_equal(a, b)
+    assert meta_a == meta_b
+    # the pyramid averages the PRE-quantization float strips, so the oracle
+    # is the float canvas (bit-equal to the streamed strips by
+    # test_streaming_writer_matches_buffered), rounded once at the end
+    canvas = predict_continent(forward, inputs, plan, clip_conditioning=False)
+    lev1, meta1 = read_geotiff(withov + ".tif", page=1)
+    want = _overview_oracle(canvas.astype(np.float64), 1, -2000.0)
+    np.testing.assert_array_equal(lev1, np.rint(want).astype(np.int16))
+    assert meta1["res"] == meta_a["res"] * 2
+
+
 def test_sharded_band_streaming_matches_single_device(forward):
     """predict_continent_sharded (band streaming x mesh-sharded tiles — the
     multi-chip production path) must equal the single-device band engine
