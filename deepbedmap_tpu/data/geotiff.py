@@ -16,7 +16,7 @@ framework carries its own codec:
 from __future__ import annotations
 
 import struct
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -162,6 +162,208 @@ def _lzw_encode_py(data: bytes) -> bytes:
 # Reader
 # --------------------------------------------------------------------------
 
+def _parse_tiff_header(raw8: bytes):
+    """TIFF/BigTIFF header -> (byte order, magic, layout sizes dict)."""
+    byte0 = raw8[:2]
+    assert byte0 in (b"II", b"MM"), "not a TIFF"
+    bo = "<" if byte0 == b"II" else ">"
+    magic = struct.unpack(bo + "H", raw8[2:4])[0]
+    if magic == 42:
+        lay = dict(entry_size=12, count_fmt="H", count_size=2,
+                   off_fmt="I", ptr_size=4, inline=4, first_ifd_at=4)
+    elif magic == 43:
+        lay = dict(entry_size=20, count_fmt="Q", count_size=8,
+                   off_fmt="Q", ptr_size=8, inline=8, first_ifd_at=8)
+    else:
+        raise ValueError(f"bad TIFF magic {magic}")
+    return bo, magic, lay
+
+
+def _read_ifd_tags(f, page: int):
+    """Seek-based IFD parse (reads only the header, the IFD chain up to
+    ``page``, and that page's out-of-line tag payloads — not the raster
+    bytes). Returns (bo, tags dict)."""
+    f.seek(0)
+    head = f.read(16)
+    bo, magic, lay = _parse_tiff_header(head)
+    f.seek(lay["first_ifd_at"])
+    ifd_off = struct.unpack(
+        bo + lay["off_fmt"], f.read(lay["ptr_size"])
+    )[0]
+    for _ in range(page):
+        f.seek(ifd_off)
+        (n,) = struct.unpack(bo + lay["count_fmt"], f.read(lay["count_size"]))
+        f.seek(ifd_off + lay["count_size"] + n * lay["entry_size"])
+        ifd_off = struct.unpack(bo + lay["off_fmt"], f.read(lay["ptr_size"]))[0]
+        if ifd_off == 0:
+            raise ValueError(f"TIFF has no page {page}")
+    f.seek(ifd_off)
+    (n_entries,) = struct.unpack(
+        bo + lay["count_fmt"], f.read(lay["count_size"])
+    )
+    entries_raw = f.read(n_entries * lay["entry_size"])
+    off_bytes = 4 if magic == 42 else 8
+    tags: Dict[int, np.ndarray] = {}
+    deferred = []
+    for i in range(n_entries):
+        e = entries_raw[i * lay["entry_size"] : (i + 1) * lay["entry_size"]]
+        tag, typ = struct.unpack(bo + "HH", e[:4])
+        cnt = struct.unpack(bo + lay["off_fmt"], e[4 : 4 + off_bytes])[0]
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        val_field = e[4 + off_bytes :]
+        if size <= lay["inline"]:
+            payload = val_field[:size]
+            tags[tag] = _tag_payload(payload, typ, cnt, bo)
+        else:
+            off = struct.unpack(bo + lay["off_fmt"], val_field)[0]
+            deferred.append((tag, typ, cnt, off, size))
+    for tag, typ, cnt, off, size in deferred:
+        f.seek(off)
+        tags[tag] = _tag_payload(f.read(size), typ, cnt, bo)
+    return bo, tags
+
+
+def _tag_payload(payload: bytes, typ: int, cnt: int, bo: str):
+    if typ in _TYPE_FMT:
+        return np.frombuffer(
+            payload, dtype=np.dtype(bo + _TYPE_FMT[typ]), count=cnt
+        )
+    if typ == 2:  # ascii
+        return payload
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def _tiff_dtype(tags, bo: str) -> np.dtype:
+    bits = int(tags.get(_T_BITS, np.array([1]))[0])
+    sample_format = int(tags.get(_T_SAMPLE_FORMAT, np.array([1]))[0])
+    samples = int(tags.get(_T_SAMPLES, np.array([1]))[0])
+    assert samples == 1, "single-band only"
+    dtype = {
+        (1, 8): np.uint8,
+        (1, 16): np.uint16,
+        (1, 32): np.uint32,
+        (2, 8): np.int8,
+        (2, 16): np.int16,
+        (2, 32): np.int32,
+        (3, 32): np.float32,
+        (3, 64): np.float64,
+    }[(sample_format, bits)]
+    return np.dtype(dtype).newbyteorder(bo)
+
+
+def _tiff_meta(tags) -> dict:
+    meta = {"left": None, "top": None, "res": None, "nodata": None,
+            "crs_epsg": None}
+    if _T_PIXEL_SCALE in tags and _T_TIEPOINT in tags:
+        scale = tags[_T_PIXEL_SCALE]
+        tie = tags[_T_TIEPOINT]
+        meta["res"] = float(scale[0])
+        meta["left"] = float(tie[3] - tie[0] * scale[0])
+        meta["top"] = float(tie[4] + tie[1] * scale[1])
+    if _T_GDAL_NODATA in tags:
+        try:
+            meta["nodata"] = float(tags[_T_GDAL_NODATA].split(b"\x00")[0])
+        except ValueError:
+            pass
+    if _T_GEO_KEYS in tags:
+        keys = tags[_T_GEO_KEYS]
+        for k in range(4, len(keys), 4):
+            if keys[k] == 3072:  # ProjectedCSTypeGeoKey
+                meta["crs_epsg"] = int(keys[k + 3])
+    return meta
+
+
+def read_geotiff_window(
+    path: str,
+    rows: Tuple[int, int],
+    cols: Optional[Tuple[int, int]] = None,
+    page: int = 0,
+):
+    """Read only the pixel window ``rows=(r0, r1), cols=(c0, c1)`` (half-open,
+    clipped to the raster) of a single-band GeoTIFF — seeks to and decodes
+    ONLY the intersecting strips (or tiles), never the whole raster: the
+    683 MB whole-continent product serves a small crop in milliseconds.
+    Returns (array, meta) with ``left``/``top`` shifted to the window origin.
+    The reference reads crops through rasterio/GDAL windowed IO
+    (deepbedmap.py:381-447); this is the same contract on our own codec."""
+    with open(path, "rb") as f:
+        bo, tags = _read_ifd_tags(f, page)
+        width = int(tags[_T_WIDTH][0])
+        height = int(tags[_T_HEIGHT][0])
+        compression = int(tags.get(_T_COMPRESSION, np.array([1]))[0])
+        predictor = int(tags.get(_T_PREDICTOR, np.array([1]))[0])
+        assert compression in (1, 5), f"unsupported compression {compression}"
+        dt = _tiff_dtype(tags, bo)
+        itemsize = dt.itemsize
+
+        r0, r1 = max(0, rows[0]), min(height, rows[1])
+        c0, c1 = (0, width) if cols is None else (
+            max(0, cols[0]), min(width, cols[1])
+        )
+        if not (r0 < r1 and c0 < c1):
+            raise ValueError(f"empty window rows={rows} cols={cols}")
+        out = np.zeros((r1 - r0, c1 - c0), dt)
+
+        def decode(block: bytes, out_size: int) -> bytes:
+            if compression != 5:
+                return block
+            nat = _native()
+            if nat is not None:
+                # blocks may be padded to full rows_per_strip by some
+                # writers; cap at the layout size like read_geotiff does
+                return nat.lzw_decode_blocks([block], [out_size])
+            return lzw_decode(block)
+
+        if _T_TILE_OFFSETS in tags:
+            tw = int(tags[_T_TILE_W][0])
+            th = int(tags[_T_TILE_H][0])
+            offs = tags[_T_TILE_OFFSETS].astype(np.int64)
+            cnts = tags[_T_TILE_COUNTS].astype(np.int64)
+            tiles_across = -(-width // tw)
+            for ti in range(r0 // th, -(-r1 // th)):
+                for tj in range(c0 // tw, -(-c1 // tw)):
+                    idx = ti * tiles_across + tj
+                    f.seek(int(offs[idx]))
+                    buf = decode(f.read(int(cnts[idx])), th * tw * itemsize)
+                    block = np.frombuffer(
+                        buf[: th * tw * itemsize], dtype=dt
+                    ).reshape(th, tw)
+                    if predictor == 2:
+                        block = np.cumsum(block, axis=1, dtype=block.dtype)
+                    br0, bc0 = ti * th, tj * tw
+                    rr0, rr1 = max(r0, br0), min(r1, br0 + th, height)
+                    cc0, cc1 = max(c0, bc0), min(c1, bc0 + tw, width)
+                    out[rr0 - r0 : rr1 - r0, cc0 - c0 : cc1 - c0] = block[
+                        rr0 - br0 : rr1 - br0, cc0 - bc0 : cc1 - bc0
+                    ]
+        else:
+            rps = int(tags.get(_T_ROWS_PER_STRIP, np.array([height]))[0])
+            offs = tags[_T_STRIP_OFFSETS].astype(np.int64)
+            cnts = tags[_T_STRIP_COUNTS].astype(np.int64)
+            for si in range(r0 // rps, -(-r1 // rps)):
+                s_rows = min(rps, height - si * rps)
+                f.seek(int(offs[si]))
+                # cap at the FULL strip height: some writers pad the final
+                # ragged strip to rows_per_strip (see read_geotiff)
+                buf = decode(f.read(int(cnts[si])), rps * width * itemsize)
+                strip = np.frombuffer(
+                    buf[: s_rows * width * itemsize], dtype=dt
+                ).reshape(s_rows, width)
+                if predictor == 2:
+                    strip = np.cumsum(strip, axis=1, dtype=strip.dtype)
+                sr0 = si * rps
+                rr0, rr1 = max(r0, sr0), min(r1, sr0 + s_rows)
+                out[rr0 - r0 : rr1 - r0] = strip[
+                    rr0 - sr0 : rr1 - sr0, c0:c1
+                ]
+
+    meta = _tiff_meta(tags)
+    if meta["res"] is not None:
+        meta["left"] += c0 * meta["res"]
+        meta["top"] -= r0 * meta["res"]
+    return out, meta
+
+
 def read_geotiff(path: str, page: int = 0):
     """Read a single-band GeoTIFF. Returns (array (H, W), meta dict) with
     meta keys: left, top, res, nodata (maybe None), crs_epsg (maybe None).
@@ -225,25 +427,10 @@ def read_geotiff(path: str, page: int = 0):
 
     width = int(tags[_T_WIDTH][0])
     height = int(tags[_T_HEIGHT][0])
-    bits = int(tags.get(_T_BITS, np.array([1]))[0])
     compression = int(tags.get(_T_COMPRESSION, np.array([1]))[0])
     predictor = int(tags.get(_T_PREDICTOR, np.array([1]))[0])
-    sample_format = int(tags.get(_T_SAMPLE_FORMAT, np.array([1]))[0])
-    samples = int(tags.get(_T_SAMPLES, np.array([1]))[0])
-    assert samples == 1, "single-band only"
     assert compression in (1, 5), f"unsupported compression {compression}"
-
-    dtype = {
-        (1, 8): np.uint8,
-        (1, 16): np.uint16,
-        (1, 32): np.uint32,
-        (2, 8): np.int8,
-        (2, 16): np.int16,
-        (2, 32): np.int32,
-        (3, 32): np.float32,
-        (3, 64): np.float64,
-    }[(sample_format, bits)]
-    dt = np.dtype(dtype).newbyteorder(bo)
+    dt = _tiff_dtype(tags, bo)
     itemsize = dt.itemsize
 
     def decompress_all(blocks, out_sizes):
@@ -305,25 +492,7 @@ def read_geotiff(path: str, page: int = 0):
             r0 = idx * rps
             out[r0 : r0 + rows_per[idx]] = to_array(buf, rows_per[idx], width)
 
-    meta = {"left": None, "top": None, "res": None, "nodata": None, "crs_epsg": None}
-    if _T_PIXEL_SCALE in tags and _T_TIEPOINT in tags:
-        scale = tags[_T_PIXEL_SCALE]
-        tie = tags[_T_TIEPOINT]
-        meta["res"] = float(scale[0])
-        # tiepoint: raster (i,j,k) -> model (x,y,z); standard usage anchors (0,0)
-        meta["left"] = float(tie[3] - tie[0] * scale[0])
-        meta["top"] = float(tie[4] + tie[1] * scale[1])
-    if _T_GDAL_NODATA in tags:
-        try:
-            meta["nodata"] = float(tags[_T_GDAL_NODATA].split(b"\x00")[0])
-        except ValueError:
-            pass
-    if _T_GEO_KEYS in tags:
-        keys = tags[_T_GEO_KEYS]
-        for k in range(4, len(keys), 4):
-            if keys[k] == 3072:  # ProjectedCSTypeGeoKey
-                meta["crs_epsg"] = int(keys[k + 3])
-    return out, meta
+    return out, _tiff_meta(tags)
 
 
 # --------------------------------------------------------------------------

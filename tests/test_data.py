@@ -119,6 +119,67 @@ def test_geotiff_roundtrip(tmp_path, compress, tiled, dtype):
     assert meta["crs_epsg"] == 3031
 
 
+@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("tiled", [False, True])
+def test_geotiff_windowed_read(tmp_path, compress, tiled):
+    """read_geotiff_window decodes only the intersecting strips/tiles and
+    returns the exact crop with window-shifted georeferencing."""
+    rs = np.random.RandomState(3)
+    data = rs.randint(-3000, 4000, size=(37, 53)).astype(np.int16)
+    path = str(tmp_path / "w.tif")
+    geotiff.write_geotiff(
+        path, data, left=-100.0, top=250.0, res=2.5, nodata=-2000,
+        compress=compress, tiled=tiled, tile_size=16,
+    )
+    for (r0, r1), cols in [
+        ((0, 37), None),            # full
+        ((5, 21), (7, 40)),         # interior, spans block boundaries
+        ((30, 37), (48, 53)),       # bottom-right corner (ragged blocks)
+        ((0, 1), (0, 1)),           # single pixel
+        ((-5, 100), (-3, 99)),      # clipped to the raster
+    ]:
+        got, meta = geotiff.read_geotiff_window(path, (r0, r1), cols)
+        cr0, cr1 = max(0, r0), min(37, r1)
+        cc0, cc1 = (0, 53) if cols is None else (
+            max(0, cols[0]), min(53, cols[1])
+        )
+        np.testing.assert_array_equal(got, data[cr0:cr1, cc0:cc1])
+        assert meta["left"] == -100.0 + cc0 * 2.5
+        assert meta["top"] == 250.0 - cr0 * 2.5
+        assert meta["res"] == 2.5 and meta["nodata"] == -2000
+    with pytest.raises(ValueError):
+        geotiff.read_geotiff_window(path, (10, 10))
+
+
+def test_geotiff_windowed_read_strip_writer_pages(tmp_path):
+    """Windowed reads work against the streaming writer's sub-strip layout
+    and its overview pages (window meta scales with the page res)."""
+    from deepbedmap_tpu.data.geotiff import GeoTiffStripWriter
+
+    rs = np.random.RandomState(4)
+    data = (rs.rand(48, 64) * 1000 - 500).astype(np.float32)
+    path = str(tmp_path / "sw.tif")
+    w = GeoTiffStripWriter(
+        path, height=48, width=64, left=0.0, top=4800.0, res=100.0,
+        dtype=np.int16, nodata=-2000.0, compress=True,
+        rows_per_strip=8, overviews=1,
+    )
+    w.write_strip(data[:24])
+    w.write_strip(data[24:])
+    w.close()
+
+    full, _ = geotiff.read_geotiff(path)
+    got, meta = geotiff.read_geotiff_window(path, (13, 30), (9, 50))
+    np.testing.assert_array_equal(got, full[13:30, 9:50])
+    assert meta["left"] == 900.0 and meta["top"] == 4800.0 - 1300.0
+
+    lev1, _ = geotiff.read_geotiff(path, page=1)
+    got1, meta1 = geotiff.read_geotiff_window(path, (3, 20), (5, 30), page=1)
+    np.testing.assert_array_equal(got1, lev1[3:20, 5:30])
+    assert meta1["res"] == 200.0
+    assert meta1["left"] == 5 * 200.0
+
+
 def test_geotiff_bigtiff_roundtrip(tmp_path):
     data = np.arange(64 * 48, dtype=np.int16).reshape(64, 48)
     path = str(tmp_path / "big.tif")
