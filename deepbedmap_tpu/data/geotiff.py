@@ -273,6 +273,18 @@ def _tiff_meta(tags) -> dict:
     return meta
 
 
+def read_geotiff_meta(path: str, page: int = 0) -> dict:
+    """Geo metadata + shape/dtype of one TIFF page without decoding any
+    raster bytes (header + IFD seeks only)."""
+    with open(path, "rb") as f:
+        bo, tags = _read_ifd_tags(f, page)
+    meta = _tiff_meta(tags)
+    meta["height"] = int(tags[_T_HEIGHT][0])
+    meta["width"] = int(tags[_T_WIDTH][0])
+    meta["dtype"] = _tiff_dtype(tags, bo).newbyteorder("=")
+    return meta
+
+
 def read_geotiff_window(
     path: str,
     rows: Tuple[int, int],

@@ -128,6 +128,73 @@ def test_evaluate_endpoint(server):
     assert body["points"] == 50
 
 
+def test_dem_product_endpoint(server):
+    """/dem serves crops of a finished GeoTIFF product through windowed
+    reads: bounds- and pixel-window selection, overview pages, stats,
+    inline values, NetCDF out, and the window cap."""
+    from deepbedmap_tpu.data.geotiff import GeoTiffStripWriter
+
+    base, _, tmp = server
+    rs = np.random.RandomState(7)
+    data = (rs.rand(64, 80) * 1000 - 200).astype(np.float32)
+    data[5, :4] = np.nan
+    w = GeoTiffStripWriter(
+        str(tmp / "product.tif"), height=64, width=80,
+        left=10000.0, top=74000.0, res=125.0,
+        dtype=np.int16, nodata=-2000.0, compress=True, overviews=1,
+    )
+    w.write_strip(data)
+    w.close()
+    want = np.where(np.isfinite(data), data, -2000.0).astype(np.int16)
+
+    # pixel window + inline values (nodata -> null)
+    code, body = _post(base, "/dem", {
+        "product": "product.tif", "rows": [5, 7], "cols": [0, 6],
+        "values": True,
+    })
+    assert code == 200, body
+    assert body["shape"] == [2, 6]
+    assert body["left"] == 10000.0 and body["top"] == 74000.0 - 5 * 125.0
+    got = body["values"]
+    assert got[0][:4] == [None] * 4
+    assert got[0][4] == float(want[5, 4])
+
+    # bounds selection + NetCDF out + stats
+    out = "crop.nc"
+    code, body = _post(base, "/dem", {
+        "product": "product.tif",
+        "bounds": [10000.0 + 10 * 125.0, 74000.0 - 30 * 125.0,
+                   10000.0 + 30 * 125.0, 74000.0 - 10 * 125.0],
+        "out": out,
+    })
+    assert code == 200, body
+    assert body["shape"] == [20, 20]
+    back = read_netcdf(str(tmp / out))
+    np.testing.assert_allclose(
+        back.data, want[10:30, 10:30].astype(np.float32)
+    )
+    assert back.res == 125.0
+    assert body["stats"]["valid_pct"] == 100.0
+
+    # overview page
+    code, body = _post(base, "/dem", {
+        "product": "product.tif", "rows": [0, 32], "cols": [0, 40],
+        "page": 1,
+    })
+    assert code == 200, body
+    assert body["shape"] == [32, 40] and body["res"] == 250.0
+
+    # caps and confinement
+    code, body = _post(base, "/dem", {
+        "product": "product.tif", "rows": [0, 64], "cols": [0, 80],
+        "values": True,
+    })
+    assert code == 200  # 5120 px <= inline cap
+    code, body = _post(base, "/dem", {"product": "../escape.tif",
+                                      "rows": [0, 1]})
+    assert code == 403
+
+
 def test_error_surfacing(server):
     base, _, _ = server
     status, body = _post(base, "/predict", {"bounds": [0, 0, 1000, 1000], "rasters": {}})
