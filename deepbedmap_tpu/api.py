@@ -194,6 +194,7 @@ class DeepBedMap:
         prefetch: int = 1,
         rows_per_strip: Optional[int] = None,
         overviews: int = 0,
+        predictor: bool = False,
     ) -> Optional[Raster]:
         """Band-streamed whole-region prediction; optionally writes the int16
         LZW GeoTIFF product. Inputs follow the reference NCHW contract,
@@ -215,7 +216,9 @@ class DeepBedMap:
         = ~8 uniform sub-strips per band, parallel native LZW encode).
         ``overviews``: with ``stream_product``, append this many 2x pyramid
         levels as chained TIFF pages (nodata-aware average, built
-        incrementally; read back via read_geotiff(path, page=L))."""
+        incrementally; read back via read_geotiff(path, page=L)).
+        ``predictor``: TIFF horizontal differencing before the LZW
+        (stream_product; data-dependent — see the writer docstring)."""
         from deepbedmap_tpu.inference import (
             TilePlan,
             predict_continent,
@@ -233,11 +236,11 @@ class DeepBedMap:
         host_inputs = {
             k: np.asarray(v).transpose(0, 2, 3, 1) for k, v in inputs_nchw.items()
         }
-        if overviews and not stream_product:
+        if (overviews or predictor) and not stream_product:
             raise ValueError(
-                "overviews are built incrementally by the streamed writer — "
+                "overviews/predictor are features of the streamed writer — "
                 "pass stream_product=True (the buffered save_continent_dem "
-                "path writes a single-page tiled GeoTIFF)"
+                "path writes a plain single-page tiled GeoTIFF)"
             )
         if stream_product:
             assert outfilepath is not None, "stream_product needs outfilepath"
@@ -245,6 +248,7 @@ class DeepBedMap:
                 self.forward_fn(), host_inputs, plan, bounds, outfilepath,
                 mesh=mesh, tile_loop=tile_loop, prefetch=prefetch,
                 rows_per_strip=rows_per_strip, overviews=overviews,
+                predictor=predictor,
             )
             return None
         if mesh is not None:

@@ -355,6 +355,7 @@ def cmd_continent(args) -> int:
         tile_loop=args.tile_loop,
         prefetch=args.prefetch,
         overviews=args.overviews,
+        predictor=args.predictor,
     )
     _emit(
         {
@@ -582,6 +583,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--prefetch", type=int, default=1,
         help="bands dispatched ahead of the blocking fetch (next band's "
         "transfer overlaps compute; 0 = serial)",
+    )
+    c.add_argument(
+        "--predictor", action="store_true",
+        help="with --stream: TIFF horizontal differencing before the LZW "
+        "(data-dependent: smaller on smooth beds, larger near white-noise "
+        "roughness)",
     )
     c.add_argument(
         "--overviews", type=int, default=0,

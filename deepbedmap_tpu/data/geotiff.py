@@ -523,13 +523,23 @@ def write_geotiff(
     tiled: bool = False,
     tile_size: int = 512,
     bigtiff: Optional[bool] = None,
+    predictor: bool = False,
 ) -> None:
-    """Write a single-band GeoTIFF (classic or BigTIFF, optional LZW)."""
+    """Write a single-band GeoTIFF (classic or BigTIFF, optional LZW).
+
+    ``predictor``: TIFF horizontal differencing (PREDICTOR=2, integer dtypes
+    only) before the LZW — spatially smooth rasters like DEMs compress far
+    better as per-row deltas (the GDAL convention for elevation products)."""
     array = np.ascontiguousarray(array)
     h, w = array.shape
     dt = array.dtype
     sample_format = {"u": 1, "i": 2, "f": 3}[dt.kind]
     bits = dt.itemsize * 8
+    if predictor and (not compress or dt.kind not in "iu"):
+        raise ValueError(
+            "predictor requires compress=True and an integer dtype "
+            "(TIFF PREDICTOR=2 is integer horizontal differencing)"
+        )
 
     # blocks
     blocks = []
@@ -541,11 +551,14 @@ def write_geotiff(
                 rr = min(th, h - r0)
                 cc = min(tw, w - c0)
                 block[:rr, :cc] = array[r0 : r0 + rr, c0 : c0 + cc]
-                blocks.append(block.tobytes())
+                blocks.append(_hdiff(block).tobytes() if predictor
+                              else block.tobytes())
     else:
         th = max(1, (1 << 20) // max(1, w * dt.itemsize))  # ~1MB strips
         for r0 in range(0, h, th):
-            blocks.append(array[r0 : min(r0 + th, h)].tobytes())
+            strip = array[r0 : min(r0 + th, h)]
+            blocks.append(_hdiff(strip).tobytes() if predictor
+                          else strip.tobytes())
 
     if compress:
         nat = _native()
@@ -582,6 +595,8 @@ def write_geotiff(
         (_T_TIEPOINT, 12, tiepoint.tolist()),
         (_T_GEO_KEYS, 3, geo_keys.tolist()),
     ]
+    if predictor:
+        entries.append((_T_PREDICTOR, 3, [2]))
     if tiled:
         entries += [
             (_T_TILE_W, 3, [tw]),
@@ -693,6 +708,15 @@ def write_geotiff(
                 f.write(b"\x00")
 
 
+def _hdiff(a: np.ndarray) -> np.ndarray:
+    """TIFF PREDICTOR=2 horizontal differencing: each pixel becomes the
+    delta to its left neighbour (modular in the integer dtype — the reader's
+    same-dtype cumsum inverts it exactly)."""
+    d = a.copy()
+    d[:, 1:] = a[:, 1:] - a[:, :-1]
+    return d
+
+
 # --------------------------------------------------------------------------
 # Streaming strip writer — bands in, IFD at close
 # --------------------------------------------------------------------------
@@ -755,6 +779,7 @@ class GeoTiffStripWriter:
         bigtiff: Optional[bool] = None,
         rows_per_strip: Optional[int] = None,
         overviews: int = 0,
+        predictor: bool = False,
     ):
         """``rows_per_strip``: when set, each ``write_strip`` call is split
         into TIFF strips of this many rows and the sub-strips LZW-encode in
@@ -772,7 +797,18 @@ class GeoTiffStripWriter:
         cascade, so cascading introduces no weighting error); all-invalid
         blocks become nodata. Memory stays bounded: one pending row pair per
         level plus at most one overview strip. Read levels back with
-        ``read_geotiff(path, page=L)``."""
+        ``read_geotiff(path, page=L)``.
+
+        ``predictor``: TIFF PREDICTOR=2 horizontal differencing before the
+        LZW (integer dtypes; applies to overview pages too) — smooth DEM
+        rasters compress far better as per-row deltas (the GDAL convention
+        for elevation products)."""
+        if predictor and (not compress or np.dtype(dtype).kind not in "iu"):
+            raise ValueError(
+                "predictor requires compress=True and an integer dtype "
+                "(TIFF PREDICTOR=2 is integer horizontal differencing)"
+            )
+        self.predictor = predictor
         self.path = path
         self.height, self.width = height, width
         self.left, self.top, self.res = left, top, res
@@ -826,7 +862,9 @@ class GeoTiffStripWriter:
 
         rps = self.rows_per_strip or rows.shape[0]
         chunks = [rows[i : i + rps] for i in range(0, rows.shape[0], rps)]
-        blocks = [c.tobytes() for c in chunks]
+        blocks = [
+            (_hdiff(c) if self.predictor else c).tobytes() for c in chunks
+        ]
         if self.compress:
             nat = _native()
             if nat is not None and len(blocks) > 1:
@@ -952,7 +990,7 @@ class GeoTiffStripWriter:
             if self.dtype.kind in "iu":
                 vals = np.rint(vals)
             arr = np.ascontiguousarray(vals.astype(self.dtype))
-            block = arr.tobytes()
+            block = (_hdiff(arr) if self.predictor else arr).tobytes()
             if self.compress:
                 nat = _native()
                 block = (
@@ -1068,6 +1106,8 @@ class GeoTiffStripWriter:
         ]
         if subfile is not None:
             entries.append((_T_SUBFILETYPE, 4, [subfile]))
+        if self.predictor:
+            entries.append((_T_PREDICTOR, 3, [2]))
         if self.nodata is not None:
             nd = (
                 str(int(self.nodata))

@@ -344,6 +344,7 @@ def predict_continent_to_geotiff(
     rows_per_strip: Optional[int] = None,
     prefetch: int = 1,
     overviews: int = 0,
+    predictor: bool = False,
 ) -> str:
     """Band-streamed inference piped straight into the int16 LZW GeoTIFF —
     a writer thread LZW-encodes and writes band strip i while the device
@@ -370,6 +371,11 @@ def predict_continent_to_geotiff(
     incrementally from the strips (nodata-aware block means; the
     gdaladdo--r-average convention) — see GeoTiffStripWriter. The reference
     ships its DEM without overviews; GIS use at continent scale wants them.
+
+    ``predictor``: TIFF PREDICTOR=2 horizontal differencing before the LZW.
+    Data-dependent: ~2x smaller on smooth fields, slightly LARGER when the
+    bed roughness approaches white noise at the 250 m posting — measure on
+    your output before enabling (benchmarks/RESULTS.md).
     """
     import queue
     import threading
@@ -408,6 +414,7 @@ def predict_continent_to_geotiff(
         compress=compress,
         rows_per_strip=rows_per_strip or None,
         overviews=overviews,
+        predictor=predictor,
     )
     strips: "queue.Queue" = queue.Queue(maxsize=2)
     error: list = []

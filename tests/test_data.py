@@ -180,6 +180,63 @@ def test_geotiff_windowed_read_strip_writer_pages(tmp_path):
     assert meta1["left"] == 5 * 200.0
 
 
+def test_geotiff_predictor_roundtrip(tmp_path):
+    """PREDICTOR=2 horizontal differencing: exact roundtrip through our
+    reader (full, windowed, overview pages), PIL/libtiff interop, smaller
+    files on smooth data, and the integer-dtype guard."""
+    from PIL import Image
+
+    from deepbedmap_tpu.data.geotiff import GeoTiffStripWriter
+
+    # smooth field: row deltas are small ints -> LZW loves it
+    grid = np.add.outer(np.arange(48), np.arange(64)).astype(np.int16)
+    grid += (np.sin(np.arange(64) / 5) * 10).astype(np.int16)
+
+    sizes = {}
+    for pred in (False, True):
+        p = str(tmp_path / f"p{pred}.tif")
+        w = GeoTiffStripWriter(
+            p, height=48, width=64, left=0.0, top=4800.0, res=100.0,
+            dtype=np.int16, nodata=-2000.0, compress=True,
+            rows_per_strip=8, overviews=1, predictor=pred,
+        )
+        w.write_strip(grid.astype(np.float32))
+        w.close()
+        back, meta = geotiff.read_geotiff(p)
+        np.testing.assert_array_equal(back, grid)
+        np.testing.assert_array_equal(np.array(Image.open(p)), grid)
+        win, _ = geotiff.read_geotiff_window(p, (10, 30), (5, 60))
+        np.testing.assert_array_equal(win, grid[10:30, 5:60])
+        lev1, _ = geotiff.read_geotiff(p, page=1)
+        assert lev1.shape == (24, 32)
+        import os
+
+        sizes[pred] = os.path.getsize(p)
+    assert sizes[True] < sizes[False]
+
+    # write_geotiff path too (strip + tiled)
+    for tiled in (False, True):
+        p = str(tmp_path / f"wg{tiled}.tif")
+        geotiff.write_geotiff(
+            p, grid, left=0.0, top=48.0, res=1.0, compress=True,
+            tiled=tiled, tile_size=16, predictor=True,
+        )
+        back, _ = geotiff.read_geotiff(p)
+        np.testing.assert_array_equal(back, grid)
+        np.testing.assert_array_equal(np.array(Image.open(p)), grid)
+
+    with pytest.raises(ValueError):
+        geotiff.write_geotiff(
+            str(tmp_path / "bad.tif"), grid.astype(np.float32),
+            left=0.0, top=48.0, res=1.0, compress=True, predictor=True,
+        )
+    with pytest.raises(ValueError):
+        GeoTiffStripWriter(
+            str(tmp_path / "bad2.tif"), height=4, width=4, left=0.0,
+            top=4.0, res=1.0, dtype=np.int16, compress=False, predictor=True,
+        )
+
+
 def test_geotiff_bigtiff_roundtrip(tmp_path):
     data = np.arange(64 * 48, dtype=np.int16).reshape(64, 48)
     path = str(tmp_path / "big.tif")
