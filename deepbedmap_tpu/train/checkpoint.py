@@ -32,12 +32,38 @@ from typing import Any, Dict
 import numpy as np
 
 
-def save_checkpoint(state, path: str) -> None:
-    """Atomic Orbax checkpoint of the full GANState."""
+_async_ckptr = None  # singleton AsyncCheckpointer, created on first use
+
+
+def save_checkpoint(state, path: str, block: bool = True) -> None:
+    """Atomic Orbax checkpoint of the full GANState.
+
+    ``block=False``: initiate the save and return once the device->host
+    copy is done — disk serialization proceeds on Orbax's background thread
+    while the caller runs the next training epoch (the ~320 MB reference
+    GANState costs ~1-3 s of wall-clock to write, vs a 4.2 s epoch). A
+    subsequent save waits for the in-flight one; call
+    ``wait_for_checkpoints()`` before reading the path or exiting. Orbax's
+    tmp-dir + rename commit keeps kill-safety: an interrupted background
+    write leaves no half-checkpoint at ``path``."""
     import orbax.checkpoint as ocp
 
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.abspath(path), state, force=True)
+    if block:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(path), state, force=True)
+        return
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    _async_ckptr.save(
+        os.path.abspath(path), args=ocp.args.StandardSave(state), force=True
+    )
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every ``save_checkpoint(block=False)`` has committed."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
 
 
 def restore_checkpoint(path: str, template):

@@ -192,8 +192,12 @@ def _run_epochs(
         if rmse_test < best_rmse:
             best_rmse = rmse_test
             if checkpoint_dir is not None and rmse_test < rmse_save_threshold:
+                # non-blocking: disk serialization overlaps the next epoch
+                # (wait_for_checkpoints() below commits before the trial ends)
                 save_checkpoint(
-                    state, os.path.join(checkpoint_dir, f"trial_{trial.number}")
+                    state,
+                    os.path.join(checkpoint_dir, f"trial_{trial.number}"),
+                    block=False,
                 )
             if tracker is not None and rmse_test < rmse_save_threshold:
                 # reference save_model_weights_and_architecture on improve
@@ -223,7 +227,11 @@ def _finish_trial(
 ) -> None:
     """End-of-trial asset upload (reference srgan_train.py:1673-1688): if the
     trial ever beat ``rmse_upload_threshold``, upload the staged best-weights
-    npz and set the model-architecture graph on the experiment."""
+    npz and set the model-architecture graph on the experiment. Also commits
+    any in-flight non-blocking checkpoint saves."""
+    from deepbedmap_tpu.train.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()
     if tracker is None or best_rmse >= rmse_upload_threshold:
         return
     npz = os.path.join(weights_dir, "srgan_generator_model_weights.npz")

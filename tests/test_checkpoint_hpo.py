@@ -33,6 +33,27 @@ def test_orbax_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_orbax_async_roundtrip(tmp_path):
+    """save_checkpoint(block=False) returns before the disk write commits;
+    after wait_for_checkpoints() the checkpoint restores exactly, and a
+    second async save to the same path supersedes the first (the
+    checkpoint-on-improve pattern in train/objective.py)."""
+    from deepbedmap_tpu.train.checkpoint import wait_for_checkpoints
+
+    path = str(tmp_path / "ckpt_async")
+    state_a = create_gan_state(TINY_G, t_cfg=TrainConfig(batch_size=2), seed=1)
+    state_b = create_gan_state(TINY_G, t_cfg=TrainConfig(batch_size=2), seed=2)
+    save_checkpoint(state_a, path, block=False)
+    save_checkpoint(state_b, path, block=False)  # supersedes
+    wait_for_checkpoints()
+    template = create_gan_state(TINY_G, t_cfg=TrainConfig(batch_size=2), seed=7)
+    restored = restore_checkpoint(path, template)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_b), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_chainer_npz_import_roundtrip(tmp_path):
     """export -> import is the identity, and the imported tree runs the model
     with identical outputs. This pins every layout transposition."""
