@@ -248,6 +248,31 @@ def test_geotiff_bigtiff_roundtrip(tmp_path):
     assert meta["res"] == 1.0
 
 
+def test_geotiff_bigtiff_overviews_predictor_window(tmp_path):
+    """The 8-byte BigTIFF layout composes with every writer feature: chained
+    overview pages, PREDICTOR=2, sub-strips, and windowed reads of both."""
+    from deepbedmap_tpu.data.geotiff import GeoTiffStripWriter
+
+    rs = np.random.RandomState(2)
+    data = (rs.rand(40, 56) * 900).astype(np.float32)
+    p = str(tmp_path / "big_ov.tif")
+    w = GeoTiffStripWriter(
+        p, height=40, width=56, left=0.0, top=4000.0, res=100.0,
+        dtype=np.int16, nodata=-2000.0, compress=True, bigtiff=True,
+        rows_per_strip=8, overviews=2, predictor=True,
+    )
+    w.write_strip(data)
+    w.close()
+    full, meta = geotiff.read_geotiff(p)
+    np.testing.assert_array_equal(full, data.astype(np.int16))
+    l1, m1 = geotiff.read_geotiff(p, page=1)
+    assert l1.shape == (20, 28) and m1["res"] == 200.0
+    win, _ = geotiff.read_geotiff_window(p, (5, 25), (10, 50))
+    np.testing.assert_array_equal(win, full[5:25, 10:50])
+    win1, _ = geotiff.read_geotiff_window(p, (2, 18), (3, 20), page=1)
+    np.testing.assert_array_equal(win1, l1[2:18, 3:20])
+
+
 def test_lzw_roundtrip():
     rs = np.random.RandomState(1)
     for payload in [
