@@ -146,6 +146,29 @@ save_continent_dem(canvas_band * 1000.0, (0.0, 0.0, 96*250.0, 96*250.0), dem_pat
 back, meta = geotiff.read_geotiff(dem_path + ".tif")
 log(f"GeoTIFF product: {back.shape} {back.dtype}, meta {meta}")
 
+# streamed product with the full feature set: mesh-sharded bands piped into
+# the strip writer with overview pyramid + horizontal predictor, then a
+# windowed read of both pages — must match the buffered canvas product
+from deepbedmap_tpu.inference.continent import predict_continent_to_geotiff
+
+streamed_path = os.path.join(workdir, "dem_streamed")
+forward_scaled = lambda *a: forward_fn(*a) * 1000.0
+predict_continent_to_geotiff(
+    forward_scaled, host_inputs, plan, (0.0, 0.0, 96 * 250.0, 96 * 250.0),
+    streamed_path, clip_conditioning=False, mesh=mesh,
+    overviews=1, predictor=True,
+)
+sback, smeta = geotiff.read_geotiff(streamed_path + ".tif")
+assert np.array_equal(sback, back) and smeta == meta
+win, wmeta = geotiff.read_geotiff_window(streamed_path + ".tif", (10, 40), (20, 70))
+assert np.array_equal(win, back[10:40, 20:70])
+lev1, lmeta = geotiff.read_geotiff_window(streamed_path + ".tif", (0, 48), page=1)
+log(
+    f"streamed product (mesh + overviews + predictor): page0 == buffered, "
+    f"window {win.shape} @ ({wmeta['left']:.0f},{wmeta['top']:.0f}), "
+    f"page1 {lev1.shape} res {lmeta['res']:.0f}"
+)
+
 from deepbedmap_tpu.evalx import track_rmse
 from deepbedmap_tpu.data.raster import Raster as R2
 dem_raster = R2(back.astype(np.float32), left=0.0, top=96*250.0, res=250.0, nodata=-2000.0)
