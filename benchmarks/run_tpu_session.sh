@@ -21,3 +21,8 @@ python bench.py > /tmp/bench_headline_r3.log 2>&1
 tail -2 /tmp/bench_headline_r3.log
 
 echo "=== TPU SESSION DONE ($(date +%H:%M:%S))"
+# persist raw logs into the repo so a later session (or the round-end
+# snapshot commit) captures the measurements even if nobody is watching
+mkdir -p /root/repo/benchmarks/tpu_session_logs
+cp /tmp/bench_tail_r3.log /tmp/bench_continent_r3.log /tmp/bench_headline_r3.log \
+   /root/repo/benchmarks/tpu_session_logs/ 2>/dev/null || true
