@@ -117,9 +117,19 @@ class Raster:
 # NetCDF-4 (HDF5) I/O via h5py — covers xarray/gmt-written .nc grids.
 # --------------------------------------------------------------------------
 
-def read_netcdf(path: str, var: Optional[str] = None) -> Raster:
+def read_netcdf(
+    path: str,
+    var: Optional[str] = None,
+    bounds: Optional[Tuple[float, float, float, float]] = None,
+) -> Raster:
     """Read a 2-D grid from a NetCDF-4 file (z/x/y layout like the
-    reference's highres/*.nc gmt-surface outputs)."""
+    reference's highres/*.nc gmt-surface outputs).
+
+    ``bounds``: (xmin, ymin, xmax, ymax) window — only the intersecting
+    hyperslab is read from disk (h5py reads just those chunks), so a crop of
+    a multi-GB grid (the ~10 GB REMA surface at real scale) costs IO
+    proportional to the window. Snap semantics match ``Raster.crop`` / `gmt
+    grdcut` (outward to pixel edges, clipped to the grid)."""
     import h5py
 
     with h5py.File(path, "r") as f:
@@ -132,7 +142,6 @@ def read_netcdf(path: str, var: Optional[str] = None) -> Raster:
             assert candidates, f"no 2-D variable in {path}: {list(f)}"
             var = candidates[0]
         dset = f[var]
-        data = dset[...]
         # coordinate variables per CF: 1-D datasets named like the dims
         dims = [
             (d.label or name)
@@ -140,8 +149,24 @@ def read_netcdf(path: str, var: Optional[str] = None) -> Raster:
         ] if dset.dims else ["y", "x"]
         yname = dims[0] or "y"
         xname = dims[1] or "x"
-        y = f[yname][...] if yname in f else np.arange(data.shape[0]) + 0.5
-        x = f[xname][...] if xname in f else np.arange(data.shape[1]) + 0.5
+        y = f[yname][...] if yname in f else np.arange(dset.shape[0]) + 0.5
+        x = f[xname][...] if xname in f else np.arange(dset.shape[1]) + 0.5
+        if bounds is None:
+            data = dset[...]
+        else:
+            xmin, ymin, xmax, ymax = bounds
+            res = (
+                float(abs(x[1] - x[0])) if len(x) > 1
+                else float(abs(y[1] - y[0]))
+            )
+            jsel = (x + res / 2 > xmin) & (x - res / 2 < xmax)
+            isel = (y + res / 2 > ymin) & (y - res / 2 < ymax)
+            if not (jsel.any() and isel.any()):
+                raise ValueError(f"window {bounds} does not intersect {path}")
+            j0, j1 = int(np.argmax(jsel)), len(x) - int(np.argmax(jsel[::-1]))
+            i0, i1 = int(np.argmax(isel)), len(y) - int(np.argmax(isel[::-1]))
+            data = dset[i0:i1, j0:j1]  # lazy hyperslab read
+            x, y = x[j0:j1], y[i0:i1]
         nodata = None
         if "_FillValue" in dset.attrs:
             nodata = float(np.ravel(dset.attrs["_FillValue"])[0])

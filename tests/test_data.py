@@ -119,6 +119,43 @@ def test_geotiff_roundtrip(tmp_path, compress, tiled, dtype):
     assert meta["crs_epsg"] == 3031
 
 
+def test_netcdf_windowed_read(tmp_path):
+    """read_netcdf(bounds=) reads only the intersecting hyperslab and must
+    equal the full read followed by Raster.crop (grdcut snap semantics),
+    for both y directions."""
+    from deepbedmap_tpu.data.raster import Raster, read_netcdf, write_netcdf
+
+    rs = np.random.RandomState(8)
+    data = rs.rand(40, 60).astype(np.float32)
+    r = Raster(data, left=1000.0, top=9000.0, res=200.0, nodata=-9.0)
+    p = str(tmp_path / "w.nc")
+    write_netcdf(r, p)
+
+    bounds = (1500.0, 2300.0, 7701.0, 8500.0)  # non-pixel-aligned on purpose
+    want = read_netcdf(p).crop(bounds)
+    got = read_netcdf(p, bounds=bounds)
+    np.testing.assert_array_equal(got.data, want.data)
+    assert (got.left, got.top, got.res) == (want.left, want.top, want.res)
+    assert got.nodata == -9.0
+
+    # ascending-y file (xarray often writes bottom-up)
+    import h5py
+
+    p2 = str(tmp_path / "asc.nc")
+    with h5py.File(p2, "w") as f:
+        yv = f.create_dataset("y", data=(r.y_centers[::-1]).astype(np.float64))
+        xv = f.create_dataset("x", data=r.x_centers.astype(np.float64))
+        z = f.create_dataset("z", data=data[::-1])
+        yv.make_scale("y"); xv.make_scale("x")
+        z.dims[0].attach_scale(yv); z.dims[1].attach_scale(xv)
+    got2 = read_netcdf(p2, bounds=bounds)
+    np.testing.assert_array_equal(got2.data, want.data)
+    assert (got2.left, got2.top) == (want.left, want.top)
+
+    with pytest.raises(ValueError):
+        read_netcdf(p, bounds=(1e7, 1e7, 2e7, 2e7))
+
+
 @pytest.mark.parametrize("compress", [False, True])
 @pytest.mark.parametrize("tiled", [False, True])
 def test_geotiff_windowed_read(tmp_path, compress, tiled):
