@@ -255,23 +255,39 @@ def cmd_predict(args) -> int:
     return 0
 
 
-def _read_raster_any(path: str):
+def _read_raster_any(path: str, bounds=None):
     """Read a DEM as Raster from NetCDF or GeoTIFF (the continent product is
-    an int16 GeoTIFF, deepbedmap.py:749-756; nodata becomes NaN)."""
-    if path.endswith((".tif", ".tiff")):
-        import numpy as np
+    an int16 GeoTIFF, deepbedmap.py:749-756; nodata becomes NaN).
 
-        from deepbedmap_tpu.data.geotiff import read_geotiff
+    ``bounds``: optional (xmin, ymin, xmax, ymax) window — only the
+    intersecting blocks/hyperslab are read (windowed IO in both codecs),
+    clipped outward to pixel edges."""
+    import numpy as np
+
+    if path.endswith((".tif", ".tiff")):
+        from deepbedmap_tpu.data import geotiff
         from deepbedmap_tpu.data.raster import Raster
 
-        data, meta = read_geotiff(path)
+        if bounds is None:
+            data, meta = geotiff.read_geotiff(path)
+        else:
+            info = geotiff.read_geotiff_meta(path)
+            res, left, top = info["res"], info["left"], info["top"]
+            xmin, ymin, xmax, ymax = bounds
+            data, meta = geotiff.read_geotiff_window(
+                path,
+                (int(np.floor((top - ymax) / res)),
+                 int(np.ceil((top - ymin) / res))),
+                (int(np.floor((xmin - left) / res)),
+                 int(np.ceil((xmax - left) / res))),
+            )
         data = data.astype(np.float32)
         if meta.get("nodata") is not None:
             data = np.where(data == meta["nodata"], np.nan, data)
         return Raster(data, left=meta["left"], top=meta["top"], res=meta["res"])
     from deepbedmap_tpu.data.raster import read_netcdf
 
-    return read_netcdf(path)
+    return read_netcdf(path, bounds=bounds)
 
 
 def cmd_evaluate(args) -> int:
@@ -279,8 +295,16 @@ def cmd_evaluate(args) -> int:
 
     from deepbedmap_tpu.evalx import track_rmse
 
-    dem = _read_raster_any(args.dem)
     track = pd.read_csv(args.track)
+    # windowed read: only the track's bounding box (plus a bicubic-stencil
+    # margin) is decoded from the DEM product
+    dem = _read_raster_any(
+        args.dem,
+        bounds=(
+            float(track.x.min()) - 2000.0, float(track.y.min()) - 2000.0,
+            float(track.x.max()) + 2000.0, float(track.y.max()) + 2000.0,
+        ),
+    )
     rmse = track_rmse(
         dem, track.x.values, track.y.values, track.z.values, method=args.method
     )
