@@ -142,6 +142,36 @@ def test_streaming_writer_matches_buffered(tmp_path, forward):
     assert meta_a == meta_b
 
 
+def test_streamed_product_surfaces_writer_error(tmp_path, forward, monkeypatch):
+    """A writer-thread failure mid-stream (e.g. disk full) must surface in
+    the caller promptly — under the prefetching band pipeline too — without
+    deadlocking the strip queue or leaking the drain thread."""
+    import threading
+
+    from deepbedmap_tpu.data import geotiff
+    from deepbedmap_tpu.inference.continent import predict_continent_to_geotiff
+
+    calls = {"n": 0}
+    orig = geotiff.GeoTiffStripWriter.write_strip
+
+    def failing_write(self, rows):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise OSError("disk full (simulated)")
+        return orig(self, rows)
+
+    monkeypatch.setattr(geotiff.GeoTiffStripWriter, "write_strip", failing_write)
+    plan = TilePlan(out_h=96, out_w=64, tile_out=32, halo_lr=3)
+    inputs = _host_inputs(plan, seed=13)
+    n0 = threading.active_count()
+    with pytest.raises(OSError, match="disk full"):
+        predict_continent_to_geotiff(
+            forward, inputs, plan, (0.0, 0.0, 64 * 250.0, 96 * 250.0),
+            str(tmp_path / "dem"), clip_conditioning=False, prefetch=2,
+        )
+    assert threading.active_count() == n0  # drain thread joined
+
+
 def test_strip_writer_roundtrip(tmp_path):
     """GeoTiffStripWriter: incremental strips (ragged last strip), LZW,
     nodata, georeferencing all round-trip through the reader."""
