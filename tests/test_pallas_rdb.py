@@ -35,6 +35,10 @@ def _params(seed=0, scale=0.05):
         ((1, 13, 14, F), 4),   # H not divisible by band, odd W
         ((2, 16, 6, F), 8),    # batch > 1, tiny W (wp=8 exactly one tile)
         ((1, 5, 30, F), 16),   # band > H (single overhanging band)
+        # the TRUNK_BANDS sweep candidates (ceil geometries 8x46 / 7x51 at
+        # 286 rows): pin non-power-of-two bands before any default flip
+        ((1, 46, 14, F), 36),
+        ((1, 51, 14, F), 41),
     ],
 )
 def test_rdb_kernel_matches_xla(shape, band, pack_dys):
