@@ -69,7 +69,7 @@ def main():
     results = {}
     for clamp in (2, 1):
         outs = {}
-        for body in ("stacked", "stacked_packed"):
+        for body in ("stacked", "stacked_packed", "stacked_pipelined"):
             log(f"compiling {body} clamp={clamp} (~1-2 min)...")
             ms = bench(
                 lambda a, b=body, cl=clamp: deform_conv2d_pallas(
@@ -82,12 +82,13 @@ def main():
             outs[body] = deform_conv2d_pallas(
                 x, offsets, weight, bias, clamp=clamp, kernel_body=body
             )
-        err = float(
-            jnp.abs(outs["stacked"] - outs["stacked_packed"]).max()
-            / jnp.abs(outs["stacked"]).max()
-        )
-        log(f"clamp={clamp} packed-vs-stacked rel err {err:.2e}")
-        assert err < 1e-4, err
+        for other in ("stacked_packed", "stacked_pipelined"):
+            err = float(
+                jnp.abs(outs["stacked"] - outs[other]).max()
+                / jnp.abs(outs["stacked"]).max()
+            )
+            log(f"clamp={clamp} {other}-vs-stacked rel err {err:.2e}")
+            assert err < 1e-4, err
 
     print(json.dumps(results))
     log("DONE")

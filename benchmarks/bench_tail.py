@@ -128,6 +128,12 @@ def main():
         results[name] = round(ms, 2)
         log(f"{name}: {ms:.2f} ms")
 
+    if os.environ.get("ONLY_PIECES"):
+        _pieces(rs, results, t)
+        print(json.dumps(results))
+        log("DONE")
+        return
+
     # --- full forward (the number everything must add up to) ---
     xs = (
         jnp.asarray(rs.rand(1, LAT + 2, LAT + 2, 1), jnp.float32),
@@ -258,6 +264,9 @@ def main():
 
             t(f"trunk36_band{band}", bench_preserving(trunk, xt, iters=3))
 
+    if os.environ.get("PIECES"):
+        _pieces(rs, results, t)
+
     known = (
         results.get("input_block", 0)
         + 2 * results.get("conv64_286", 0)  # pre+post residual convs
@@ -272,6 +281,92 @@ def main():
     )
     print(json.dumps(results))
     log("DONE")
+
+
+def _pieces(rs, results, t):
+    """Deform marshalling piecewise audit (PIECES=1 / ONLY_PIECES=1).
+
+    deform64_full measured ~38 ms vs 20.3 ms kernel + 3.4 ms offset conv:
+    ~14 ms lives in the NHWC -> row-tile marshalling around the pallas
+    call (and ~10 ms around zproj1). Time each piece to find which."""
+    if True:
+        from deepbedmap_tpu.ops import pallas_kernels as pk
+
+        res = 4 * LAT
+        xk = jnp.asarray(rs.rand(1, res, res, 64), jnp.float32)
+        offs = jnp.asarray((rs.rand(1, res, res, 18) * 4 - 2), jnp.float32)
+        wdef = jnp.asarray(rs.randn(3, 3, 64, 64).astype(np.float32) * 0.05)
+        w1 = jnp.asarray(rs.randn(3, 3, 64, 1).astype(np.float32) * 0.05)
+        bh = 64
+        hp, wp, gy, gx, num_tiles, starts = pk._tile_plan(1, res, res, bh)
+
+        def tile_x(a):
+            x_cf = jnp.transpose(a, (0, 3, 1, 2))
+            return pk._tile_rows_cf(
+                x_cf, starts, bh, pk._LANE_HALO, res, res, hp, wp
+            )
+
+        t("pieces_tile_x", bench_changing(tile_x, xk))
+        t(
+            "pieces_tile_offsets",
+            bench_changing(
+                lambda o: pk._tile_offsets(o, bh, 9, hp, wp, gy, gx), offs
+            ),
+        )
+        out_shaped = jnp.asarray(
+            rs.rand(num_tiles, bh, 64, pk._BW), jnp.float32
+        )
+        t(
+            "pieces_untile",
+            bench_changing(
+                lambda o: pk._untile_out(o, 1, res, res, gy, gx, bh, 64),
+                out_shaped,
+            ),
+        )
+
+        def zproj_pre(a):
+            z = jnp.einsum(
+                "nhwc,kc->nkhw",
+                a,
+                w1.reshape(9, 64),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            rh = pk._LANE_HALO
+            z_big = jnp.pad(
+                z,
+                ((0, 0), (0, 0), (rh, rh + hp - res), (rh, rh + wp - res)),
+            )
+            z_big = jnp.stack(
+                [
+                    jnp.roll(z_big[:, t_], -(t_ % 3 - 1), axis=-1)
+                    if t_ % 3 != 1
+                    else z_big[:, t_]
+                    for t_ in range(9)
+                ],
+                axis=1,
+            )
+            return pk._tile_rows_cf(
+                z_big, starts, bh, rh, res, res, hp, wp, prepadded=True
+            )
+
+        t("pieces_zproj_pre", bench_changing(zproj_pre, xk))
+
+        log("compiling deform64 sampler-only (pallas, ~1-2 min)...")
+        from deepbedmap_tpu.ops.deform_conv import deform_conv2d
+
+        t(
+            "pieces_deform64_sampler",
+            bench_preserving(
+                lambda a: deform_conv2d(a, offs, wdef, method="pallas"), xk
+            ),
+        )
+        t(
+            "pieces_zproj1_sampler",
+            bench_changing(
+                lambda a: deform_conv2d(a, offs, w1, method="pallas"), xk
+            ),
+        )
 
 
 if __name__ == "__main__":

@@ -42,6 +42,83 @@ _LANE_HALO = 4  # >= padding + clamp + 1 shift reach per side (k=3,p=1,clamp=2)
 _LANES = _BW + 2 * _LANE_HALO
 
 
+def _tile_plan(n: int, h: int, w: int, bh: int):
+    """Block geometry + per-tile (batch, row, col) start table."""
+    hp = -(-h // bh) * bh
+    wp = -(-w // _BW) * _BW
+    gy, gx = hp // bh, wp // _BW
+    starts = jnp.asarray(
+        [
+            (ni, ty * bh, tx * _BW)
+            for ni in range(n)
+            for ty in range(gy)
+            for tx in range(gx)
+        ],
+        jnp.int32,
+    )
+    return hp, wp, gy, gx, n * gy * gx, starts
+
+
+def _tile_rows_cf(
+    x_cf: jax.Array,
+    starts: jax.Array,
+    bh: int,
+    rh: int,
+    h: int,
+    w: int,
+    hp: int,
+    wp: int,
+    prepadded: bool = False,
+):
+    """Channels-first (N, C, H, W) image -> halo'd row-major tiles
+    (T, bh + 2*rh, C, 128). Pads with the row/lane halos (unless the caller
+    already did — ``prepadded``), then gathers one overlapping
+    (rows, C, 128) slab per tile (vmapped dynamic_slice)."""
+    c = x_cf.shape[1]
+    if prepadded:
+        x_big = x_cf
+    else:
+        x_big = jnp.pad(
+            x_cf,
+            ((0, 0), (0, 0), (rh, rh + hp - h), (_LANE_HALO, _LANE_HALO + wp - w)),
+        )
+
+    def grab(s):
+        sl = jax.lax.dynamic_slice(
+            x_big, (s[0], 0, s[1], s[2]), (1, c, bh + 2 * rh, _LANES)
+        )[0]
+        return jnp.transpose(sl, (1, 0, 2))  # (rows, C, 128)
+
+    return jax.vmap(grab)(starts)
+
+
+def _tile_offsets(
+    offsets: jax.Array, bh: int, k: int, hp: int, wp: int, gy: int, gx: int
+):
+    """(N, H, W, 2K) offset field -> (T, bh, 2K, 1, 128) per-row lane
+    vectors (lane dim = the tile's output columns; halo lanes zero)."""
+    n, h, w, _ = offsets.shape
+    off_p = jnp.pad(offsets, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    off_t = (
+        off_p.reshape(n, gy, bh, gx, _BW, 2 * k)
+        .transpose(0, 1, 3, 2, 5, 4)  # n, gy, gx, bh, 2K, bw
+        .reshape(n * gy * gx, bh, 2 * k, 1, _BW)
+    )
+    return jnp.pad(off_t, ((0, 0), (0, 0), (0, 0), (0, 0), (0, 2 * _LANE_HALO)))
+
+
+def _untile_out(
+    out: jax.Array, n: int, h: int, w: int, gy: int, gx: int, bh: int, c_out: int
+):
+    """(T, bh, C_out, bw) kernel output tiles -> (N, H, W, C_out)."""
+    out = (
+        out.reshape(n, gy, gx, bh, c_out, _BW)
+        .transpose(0, 1, 3, 2, 5, 4)
+        .reshape(n, gy * bh, gx * _BW, c_out)
+    )
+    return out[:, :h, :w, :]
+
+
 def _deform_rows_kernel(
     x_ref,  # (bh + 2*rh, 1, C, 128) VMEM — halo'd row slabs (batch-major rows)
     off_ref,  # (bh, 2K, 1, 128) VMEM — per-row, per-tap offset lane vectors
@@ -139,6 +216,8 @@ def deform_conv2d_pallas(
     18.7 ms clamp=1 at 1144^2 x 64 vs banded 50 ms and rolls 25 ms),
     'stacked_packed' (v4: one shared slab + one lane-concatenated sampling
     dot per kernel row — 3x fewer MXU instructions at equal passes),
+    'stacked_pipelined' (v5: the packed body with the sampling-matrix build
+    carried one row ahead so VPU build and MXU dots can overlap),
     'banded' (v1 S-matrix matmuls), 'rolls' (static lane rotations), or
     'auto' (= 'stacked').
     """
@@ -151,53 +230,15 @@ def deform_conv2d_pallas(
     assert padding + clamp + 1 <= _LANE_HALO, "shift reach exceeds lane halo"
     row_halo = _LANE_HALO
 
-    hp = -(-h // bh) * bh
-    wp = -(-w // _BW) * _BW
-    gy, gx = hp // bh, wp // _BW
-    num_tiles = n * gy * gx
+    hp, wp, gy, gx, num_tiles, starts = _tile_plan(n, h, w, bh)
 
-    # channels-first padded image: (N, C, H + 2rh, W + 2lh)
+    # channels-first padded image -> batch-major row tiles (T, rows, 1, C, 128)
     x_cf = jnp.transpose(x, (0, 3, 1, 2))
-    x_big = jnp.pad(
-        x_cf,
-        (
-            (0, 0),
-            (0, 0),
-            (row_halo, row_halo + hp - h),
-            (_LANE_HALO, _LANE_HALO + wp - w),
-        ),
-    )
-
-    starts = jnp.asarray(
-        [
-            (ni, ty * bh, tx * _BW)
-            for ni in range(n)
-            for ty in range(gy)
-            for tx in range(gx)
-        ],
-        jnp.int32,
-    )
-
-    def grab(s):
-        # (C, bh + 2rh, 128) -> batch-major rows (bh + 2rh, 1, C, 128)
-        sl = jax.lax.dynamic_slice(
-            x_big,
-            (s[0], 0, s[1], s[2]),
-            (1, c_in, bh + 2 * row_halo, _LANES),
-        )[0]
-        return jnp.transpose(sl, (1, 0, 2))[:, None]
-
-    x_tiles = jax.vmap(grab)(starts)  # (T, bh+2rh, 1, C, 128)
+    x_tiles = _tile_rows_cf(x_cf, starts, bh, row_halo, h, w, hp, wp)[:, :, None]
 
     # offsets -> (T, bh, 2K, 1, 128): per-row, per-channel lane vectors with
     # the lane dim holding the tile's output columns (halo lanes zero)
-    off_p = jnp.pad(offsets, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
-    off_t = (
-        off_p.reshape(n, gy, bh, gx, _BW, 2 * k)
-        .transpose(0, 1, 3, 2, 5, 4)  # n, gy, gx, bh, 2K, bw
-        .reshape(num_tiles, bh, 2 * k, 1, _BW)
-    )
-    off_t = jnp.pad(off_t, ((0, 0), (0, 0), (0, 0), (0, 0), (0, 2 * _LANE_HALO)))
+    off_t = _tile_offsets(offsets, bh, k, hp, wp, gy, gx)
 
     if kernel_body == "auto":
         # stacked wins at every clamp (clamp=2: 20.8 vs banded 50; clamp=1:
@@ -206,7 +247,7 @@ def deform_conv2d_pallas(
     assert not mxu_bf16 or kernel_body == "banded", (
         "mxu_bf16 applies to the 'banded' body only"
     )
-    if kernel_body in ("stacked", "stacked_packed"):
+    if kernel_body in ("stacked", "stacked_packed", "stacked_pipelined"):
         # tap-stacked contraction matrix: column block t holds weight[u,v,:,:]
         w_t = jnp.transpose(weight.reshape(k, c_in, c_out), (2, 0, 1)).reshape(
             c_out, k * c_in
@@ -230,6 +271,7 @@ def deform_conv2d_pallas(
         "rolls": _deform_rolls_kernel,
         "stacked": _deform_stacked_kernel,
         "stacked_packed": _deform_stacked_kernel,
+        "stacked_pipelined": _deform_stacked_pipelined_kernel,
     }[kernel_body]
     extra = {"mxu_bf16": mxu_bf16} if kernel_body == "banded" else {}
     if kernel_body == "stacked_packed":
@@ -276,13 +318,7 @@ def deform_conv2d_pallas(
     )(x_tiles, off_t, w_t, b)
 
     # (T, bh, 1, C_out, 128) -> (N, H, W, C_out); keep lanes [0, _BW)
-    out = out[:, :, 0, :, :_BW]  # (T, bh, C_out, bw)
-    out = (
-        out.reshape(n, gy, gx, bh, c_out, _BW)
-        .transpose(0, 1, 3, 2, 5, 4)
-        .reshape(n, hp, wp, c_out)
-    )
-    return out[:, :h, :w, :]
+    return _untile_out(out[:, :, 0, :, :_BW], n, h, w, gy, gx, bh, c_out)
 
 
 def _deform_stacked_kernel(
@@ -415,6 +451,126 @@ def _deform_stacked_kernel(
         return 0
 
     jax.lax.fori_loop(0, bh, row_body, 0)
+
+
+def _deform_stacked_pipelined_kernel(
+    x_ref,  # (1, bh + 2*rh, 1, C, 128) VMEM — halo'd row slabs
+    off_ref,  # (1, bh, 2K, 1, 128) VMEM
+    w_ref,  # (C_out, K*C) VMEM — tap-stacked contraction matrix
+    b_ref,  # (1, C_out, 1) VMEM
+    out_ref,  # (1, bh, 1, C_out, 128) VMEM
+    *,
+    bh: int,
+    row_halo: int,
+    padding: int,
+    clamp: int,
+    kh: int,
+    kw: int,
+):
+    """v5: the tap-packed stacked body with the sampling-matrix build
+    software-pipelined one output row ahead.
+
+    The v4 measurement (equal time in 3x fewer MXU instructions,
+    benchmarks/RESULTS.md) showed the stacked body is bound by the per-row
+    VPU (sampling-matrix build from the offsets) -> MXU (slab dots) -> VPU
+    (wy reduce) dependency chain, which Mosaic does not pipeline across
+    ``fori_loop`` iterations. Here iteration r consumes the sampling
+    matrices computed during iteration r-1 (loop-carried) and builds row
+    r+1's matrices right after issuing row r's dots — the build has no data
+    dependence on the in-flight MXU work, so the scheduler can overlap the
+    two units instead of stalling each on the other. Same decomposition and
+    numerics as ``_deform_stacked_kernel(pack_taps=True)``.
+    """
+    k = kh * kw
+    c_in = x_ref.shape[3]
+    c_out = out_ref.shape[3]
+    span = 2 * clamp + 2
+
+    l_idx = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_LANES,), 0)
+    valid = (lane < _BW).astype(jnp.float32)
+
+    band_masks = {}
+    for v in range(kw):
+        base = _LANE_HALO + (v - padding)
+        band = l_idx - j_idx - base
+        band_masks[v] = [
+            (band == sx).astype(jnp.float32) for sx in range(-clamp, clamp + 2)
+        ]
+
+    def tap_weights(r, t, v):
+        dy = jnp.clip(
+            off_ref[0, r, t, 0, :].astype(jnp.float32), -clamp, clamp
+        )
+        dx = jnp.clip(
+            off_ref[0, r, k + t, 0, :].astype(jnp.float32), -clamp, clamp
+        )
+        iy = jnp.floor(dy)
+        ix = jnp.floor(dx)
+        fy = dy - iy
+        fx = dx - ix
+
+        s_mat = jnp.zeros((_LANES, _LANES), jnp.float32)
+        for si, sx in enumerate(range(-clamp, clamp + 2)):
+            wx = ((1.0 - fx) * (ix == sx) + fx * (ix == sx - 1)) * valid
+            s_mat = s_mat + band_masks[v][si] * wx[None, :]
+
+        wy = jnp.stack(
+            [
+                (1.0 - fy) * (iy == sy) + fy * (iy == sy - 1)
+                for sy in range(-clamp, clamp + 2)
+            ]
+        )  # (span, 128)
+        return s_mat, wy
+
+    def mats_for_row(r):
+        """Lane-concatenated sampling matrices (one per kernel row u) and
+        the (K, span, 128) bilinear row-weight stack for output row ``r``."""
+        mats = []
+        wys = []
+        for u in range(kh):
+            ms, ws = zip(*(tap_weights(r, u * kw + v, v) for v in range(kw)))
+            mats.append(jnp.concatenate(ms, axis=1))  # (128, kw*128)
+            wys.extend(ws)
+        return tuple(mats) + (jnp.stack(wys),)
+
+    def row_body(r, carry):
+        mats, wys = carry[:kh], carry[kh]
+        stack = x_ref[0, pl.ds(r + row_halo - clamp - padding, span + kh - 1), 0]
+
+        # 1) issue row r's MXU dots against the carried matrices
+        prods = []
+        for u in range(kh):
+            slab = stack[u : u + span].reshape(span * c_in, _LANES)
+            prods.append(
+                jnp.dot(slab, mats[u], preferred_element_type=jnp.float32)
+            )  # (span*C, kw*128)
+
+        # 2) build row r+1's matrices — VPU work with no dependence on (1),
+        #    free to overlap the in-flight dots (clamped read: the value
+        #    computed at the final row is discarded with the loop carry)
+        nxt = mats_for_row(jnp.minimum(r + 1, bh - 1))
+
+        # 3) wy-reduce row r's products and contract through the tap weights
+        tap_outs = []
+        for u in range(kh):
+            tap_outs.extend(
+                jnp.sum(
+                    prods[u][:, v * _LANES : (v + 1) * _LANES].reshape(
+                        span, c_in, _LANES
+                    )
+                    * wys[u * kw + v][:, None, :],
+                    axis=0,
+                )
+                for v in range(kw)
+            )
+        y_all = jnp.concatenate(tap_outs, axis=0)  # (K*C, 128)
+        acc = jnp.dot(w_ref[...], y_all, preferred_element_type=jnp.float32)
+        out_ref[0, r, 0] = (acc + b_ref[0]).astype(out_ref.dtype)
+        return nxt
+
+    jax.lax.fori_loop(0, bh, row_body, mats_for_row(0))
 
 
 def _deform_rolls_kernel(
@@ -580,10 +736,7 @@ def deform_conv2d_pallas_zproj1(
     row_halo = _LANE_HALO
     bh = block_rows
 
-    hp = -(-h // bh) * bh
-    wp = -(-w // _BW) * _BW
-    gy, gx = hp // bh, wp // _BW
-    num_tiles = n * gy * gx
+    hp, wp, gy, gx, num_tiles, starts = _tile_plan(n, h, w, bh)
 
     # (N, K, H, W) tap projections at full fp32 matmul precision
     z = jnp.einsum(
@@ -593,6 +746,11 @@ def deform_conv2d_pallas_zproj1(
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    # pad to the halo'd frame FIRST, then fold each tap's static column
+    # offset in as a lane roll: the rolled frame must hold shifted in-image
+    # data one column beyond each image edge (rolled[c] = z_t[c + v - p] for
+    # every lane the kernel's shift reach can touch), which a roll of the
+    # unpadded image cannot represent
     z_big = jnp.pad(
         z,
         (
@@ -602,7 +760,6 @@ def deform_conv2d_pallas_zproj1(
             (_LANE_HALO, _LANE_HALO + wp - w),
         ),
     )
-    # fold each tap's static column offset into the lane frame
     z_big = jnp.stack(
         [
             jnp.roll(z_big[:, t], -(t % kw - padding), axis=-1)
@@ -612,34 +769,11 @@ def deform_conv2d_pallas_zproj1(
         ],
         axis=1,
     )
-
-    starts = jnp.asarray(
-        [
-            (ni, ty * bh, tx * _BW)
-            for ni in range(n)
-            for ty in range(gy)
-            for tx in range(gx)
-        ],
-        jnp.int32,
+    z_tiles = _tile_rows_cf(
+        z_big, starts, bh, row_halo, h, w, hp, wp, prepadded=True
     )
 
-    def grab(s):
-        sl = jax.lax.dynamic_slice(
-            z_big,
-            (s[0], 0, s[1], s[2]),
-            (1, k, bh + 2 * row_halo, _LANES),
-        )[0]
-        return jnp.transpose(sl, (1, 0, 2))  # (rows, K, 128)
-
-    z_tiles = jax.vmap(grab)(starts)  # (T, rows, K, 128)
-
-    off_p = jnp.pad(offsets, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
-    off_t = (
-        off_p.reshape(n, gy, bh, gx, _BW, 2 * k)
-        .transpose(0, 1, 3, 2, 5, 4)
-        .reshape(num_tiles, bh, 2 * k, 1, _BW)
-    )
-    off_t = jnp.pad(off_t, ((0, 0), (0, 0), (0, 0), (0, 0), (0, 2 * _LANE_HALO)))
+    off_t = _tile_offsets(offsets, bh, k, hp, wp, gy, gx)
 
     b = (
         jnp.zeros((1, 1, 1), x.dtype)
@@ -682,13 +816,8 @@ def deform_conv2d_pallas_zproj1(
         interpret=interpret,
     )(z_tiles, off_t, b)
 
-    out = out[:, :, 0, :_BW]  # (T, bh, bw)
-    out = (
-        out.reshape(n, gy, gx, bh, _BW)
-        .transpose(0, 1, 3, 2, 4)
-        .reshape(n, hp, wp, 1)
-    )
-    return out[:, :h, :w, :]
+    # (T, bh, 1, bw) -> (N, H, W, 1)
+    return _untile_out(out[:, :, 0, None, :_BW], n, h, w, gy, gx, bh, 1)
 
 
 def _deform_zform_kernel(
@@ -871,49 +1000,12 @@ def deform_conv2d_pallas_zform(
         block_rows = max(8, min(64, (budget - 2 * row_halo) // 8 * 8))
     bh = block_rows
 
-    hp = -(-h // bh) * bh
-    wp = -(-w // _BW) * _BW
-    gy, gx = hp // bh, wp // _BW
-    num_tiles = n * gy * gx
+    hp, wp, gy, gx, num_tiles, starts = _tile_plan(n, h, w, bh)
 
     x_cf = jnp.transpose(x, (0, 3, 1, 2))
-    x_big = jnp.pad(
-        x_cf,
-        (
-            (0, 0),
-            (0, 0),
-            (row_halo, row_halo + hp - h),
-            (_LANE_HALO, _LANE_HALO + wp - w),
-        ),
-    )
+    x_tiles = _tile_rows_cf(x_cf, starts, bh, row_halo, h, w, hp, wp)[:, :, None]
 
-    starts = jnp.asarray(
-        [
-            (ni, ty * bh, tx * _BW)
-            for ni in range(n)
-            for ty in range(gy)
-            for tx in range(gx)
-        ],
-        jnp.int32,
-    )
-
-    def grab(s):
-        sl = jax.lax.dynamic_slice(
-            x_big,
-            (s[0], 0, s[1], s[2]),
-            (1, c_in, bh + 2 * row_halo, _LANES),
-        )[0]
-        return jnp.transpose(sl, (1, 0, 2))[:, None]
-
-    x_tiles = jax.vmap(grab)(starts)  # (T, bh+2rh, 1, C, 128)
-
-    off_p = jnp.pad(offsets, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
-    off_t = (
-        off_p.reshape(n, gy, bh, gx, _BW, 2 * k)
-        .transpose(0, 1, 3, 2, 5, 4)
-        .reshape(num_tiles, bh, 2 * k, 1, _BW)
-    )
-    off_t = jnp.pad(off_t, ((0, 0), (0, 0), (0, 0), (0, 0), (0, 2 * _LANE_HALO)))
+    off_t = _tile_offsets(offsets, bh, k, hp, wp, gy, gx)
 
     # tap-major projection matrix: rows t*c_out + co hold weight[u, v, :, co]
     w_t = jnp.transpose(weight.reshape(k, c_in, c_out), (0, 2, 1)).reshape(
@@ -970,10 +1062,4 @@ def deform_conv2d_pallas_zform(
         interpret=interpret,
     )(x_tiles, off_t, w_t, b)
 
-    out = out[:, :, 0, :, :_BW]
-    out = (
-        out.reshape(n, gy, gx, bh, c_out, _BW)
-        .transpose(0, 1, 3, 2, 5, 4)
-        .reshape(n, hp, wp, c_out)
-    )
-    return out[:, :h, :w, :]
+    return _untile_out(out[:, :, 0, :, :_BW], n, h, w, gy, gx, bh, c_out)

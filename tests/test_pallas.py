@@ -20,7 +20,10 @@ def case(rng):
     return map(jnp.asarray, (x, offsets, weight, bias))
 
 
-@pytest.mark.parametrize("body", ["stacked", "stacked_packed", "banded", "rolls"])
+@pytest.mark.parametrize(
+    "body",
+    ["stacked", "stacked_packed", "stacked_pipelined", "banded", "rolls"],
+)
 def test_pallas_matches_shifts(case, body):
     """Every kernel body is the same sampling math in a different dot
     decomposition ('stacked_packed' shares one slab + one lane-concatenated
