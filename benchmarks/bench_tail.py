@@ -301,16 +301,19 @@ def _pieces(rs, results, t):
         hp, wp, gy, gx, num_tiles, starts = pk._tile_plan(1, res, res, bh)
 
         def tile_x(a):
-            x_cf = jnp.transpose(a, (0, 3, 1, 2))
-            return pk._tile_rows_cf(
-                x_cf, starts, bh, pk._LANE_HALO, res, res, hp, wp
+            x_hcw = jnp.swapaxes(a, 2, 3)
+            return pk._tile_rows_hcw(
+                x_hcw, starts, bh, pk._LANE_HALO, res, res, hp, wp
             )
 
         t("pieces_tile_x", bench_changing(tile_x, xk))
         t(
             "pieces_tile_offsets",
             bench_changing(
-                lambda o: pk._tile_offsets(o, bh, 9, hp, wp, gy, gx), offs
+                lambda o: pk._tile_offsets(
+                    jnp.swapaxes(o, 2, 3), starts, bh, hp, wp
+                ),
+                offs,
             ),
         )
         out_shaped = jnp.asarray(
@@ -326,7 +329,7 @@ def _pieces(rs, results, t):
 
         def zproj_pre(a):
             z = jnp.einsum(
-                "nhwc,kc->nkhw",
+                "nhwc,kc->nhkw",
                 a,
                 w1.reshape(9, 64),
                 preferred_element_type=jnp.float32,
@@ -335,22 +338,71 @@ def _pieces(rs, results, t):
             rh = pk._LANE_HALO
             z_big = jnp.pad(
                 z,
-                ((0, 0), (0, 0), (rh, rh + hp - res), (rh, rh + wp - res)),
+                ((0, 0), (rh, rh + hp - res), (0, 0), (rh, rh + wp - res)),
             )
             z_big = jnp.stack(
                 [
-                    jnp.roll(z_big[:, t_], -(t_ % 3 - 1), axis=-1)
+                    jnp.roll(z_big[:, :, t_], -(t_ % 3 - 1), axis=-1)
                     if t_ % 3 != 1
-                    else z_big[:, t_]
+                    else z_big[:, :, t_]
                     for t_ in range(9)
                 ],
-                axis=1,
+                axis=2,
             )
-            return pk._tile_rows_cf(
+            return pk._tile_rows_hcw(
                 z_big, starts, bh, rh, res, res, hp, wp, prepadded=True
             )
 
         t("pieces_zproj_pre", bench_changing(zproj_pre, xk))
+
+        # layout probes: if the producing conv can emit (N, H, C, W) at no
+        # extra cost, tile extraction needs no per-tile transpose at all
+        # (an (H, C, W) slice IS (rows, C, lanes)) and the marshalling
+        # collapses to pad + overlapping gather.
+        def conv64_out(a, out_perm):
+            dn = jax.lax.conv_dimension_numbers(
+                a.shape, wdef.shape, ("NHWC", "HWIO", out_perm)
+            )
+            return jax.lax.conv_general_dilated(
+                a, wdef, (1, 1), "SAME", dimension_numbers=dn
+            )
+
+        t(
+            "pieces_conv64_out_nhwc",
+            bench_changing(lambda a: conv64_out(a, "NHWC"), xk),
+        )
+        t(
+            "pieces_conv64_out_nchw",
+            bench_changing(lambda a: conv64_out(a, "NCHW"), xk),
+        )
+        t(
+            "pieces_conv64_out_nhcw",
+            bench_changing(lambda a: conv64_out(a, "NHCW"), xk),
+        )
+
+        def tile_x_from_nhcw(a_nhcw):
+            # pad + overlapping gather only — no transposes anywhere
+            rh = pk._LANE_HALO
+            x_big = jnp.pad(
+                a_nhcw,
+                ((0, 0), (rh, rh + hp - res), (0, 0), (rh, rh + wp - res)),
+            )
+
+            def grab(s):
+                return jax.lax.dynamic_slice(
+                    x_big, (s[0], s[1], 0, s[2]), (1, bh + 2 * rh, 64, pk._LANES)
+                )[0]
+
+            return jax.vmap(grab)(starts)
+
+        x_nhcw = jnp.asarray(rs.rand(1, res, 64, res), jnp.float32)
+        t("pieces_tile_x_from_nhcw", bench_changing(tile_x_from_nhcw, x_nhcw))
+
+        # big-transpose probe: is the NHWC -> NCHW transpose itself the cost?
+        t(
+            "pieces_transpose_nhwc_nchw",
+            bench_changing(lambda a: jnp.transpose(a, (0, 3, 1, 2)), xk),
+        )
 
         log("compiling deform64 sampler-only (pallas, ~1-2 min)...")
         from deepbedmap_tpu.ops.deform_conv import deform_conv2d

@@ -53,6 +53,12 @@ class GeneratorConfig:
     # clamp=1 halves the sampler cost with identical outputs on trained
     # models — validate on your checkpoint before switching from 2.
     deform_clamp: int = 2
+    # Channels-before-width (N, H, C, W) layout through the generator tail
+    # (2nd upsample conv -> both deform layers): the tail convs emit the
+    # layout natively (~free) and the deform row tiler becomes pad + gather,
+    # removing ~10 ms/layer of transposes at continent-tile sizes. Same
+    # math, same parameter tree; off = plain-NHWC reference layout.
+    tail_hcw: bool = True
 
     @property
     def concat_channels(self) -> int:

@@ -208,6 +208,41 @@ class ResInResDenseBlock(nn.Module):
         return x + self.residual_scaling * a
 
 
+class ConvHCW(nn.Module):
+    """3x3 SAME conv whose OUTPUT is laid out channels-before-width
+    (N, H, C, W) — emitted natively by the XLA conv (measured +0.3 ms at
+    1144^2 x 64 vs NHWC), whereas a separate transpose of the same tensor
+    costs ~10 ms. Feeding the deformable-conv row tiler in this layout makes
+    its marshalling a pure pad + gather. Parameter tree ('kernel', 'bias')
+    and initialisation match ``nn.Conv`` exactly, so checkpoints and the
+    Chainer weight shim are layout-agnostic.
+    """
+
+    features: int
+    init_scale: float = 0.1
+    dtype: Any = None
+    in_hcw: bool = False  # input is (N, H, C, W) instead of NHWC
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c_in = x.shape[2] if self.in_hcw else x.shape[3]
+        kernel = self.param(
+            "kernel", he_normal_chainer(self.init_scale), (3, 3, c_in, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHCW" if self.in_hcw else "NHWC", "HWIO", "NHCW")
+        )
+        out = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), "SAME", dimension_numbers=dn
+        )
+        return out + bias[None, None, :, None]
+
+
 class DeformableConv(nn.Module):
     """Deformable conv layer = offset-predicting 3x3 conv + deformable sampler.
 
@@ -224,26 +259,40 @@ class DeformableConv(nn.Module):
     # term count at identical outputs on trained models. clamp=2 is the
     # conservative default.
     clamp: int = 2
+    # channels-before-width plumbing (see ConvHCW): 'in' means x arrives as
+    # (N, H, C, W); 'out' means this layer emits (N, H, C, W). Both offset
+    # conv and sampler then skip every transpose on the inference hot path.
+    in_hcw: bool = False
+    out_hcw: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         k = 9  # 3x3 kernel taps
-        offsets = nn.Conv(
-            features=2 * k,
-            kernel_size=(3, 3),
-            padding="SAME",
-            dtype=self.dtype,
-            kernel_init=he_normal_chainer(self.init_scale),
-            name="offset_conv",
-        )(x)
+        if self.in_hcw:
+            offsets = ConvHCW(
+                2 * k, self.init_scale, self.dtype, in_hcw=True,
+                name="offset_conv",
+            )(x)
+            c_in = x.shape[2]
+        else:
+            offsets = nn.Conv(
+                features=2 * k,
+                kernel_size=(3, 3),
+                padding="SAME",
+                dtype=self.dtype,
+                kernel_init=he_normal_chainer(self.init_scale),
+                name="offset_conv",
+            )(x)
+            c_in = x.shape[3]
         weight = self.param(
             "kernel",
             he_normal_chainer(self.init_scale),
-            (3, 3, x.shape[-1], self.features),
+            (3, 3, c_in, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         # sampling + kernel matmul run fp32 regardless of compute dtype
         return deform_conv2d(
             x.astype(jnp.float32), offsets.astype(jnp.float32), weight, bias,
             padding=1, clamp=self.clamp,
+            in_hcw=self.in_hcw, out_hcw=self.out_hcw,
         )

@@ -22,6 +22,7 @@ from flax import linen as nn
 
 from deepbedmap_tpu.config import GeneratorConfig
 from deepbedmap_tpu.models.blocks import (
+    ConvHCW,
     DeformableConv,
     InputBlock,
     ResInResDenseBlock,
@@ -106,20 +107,34 @@ class Generator(nn.Module):
         # 3: post-residual conv + long skip
         a3 = conv64("post_residual_conv_layer")(a2) + a1
 
-        # 4: two nearest-neighbour x2 upsample + conv stages
-        a4 = a3
-        for i in (1, 2):
-            a4 = nearest_upsample(a4, 2)
-            a4 = leaky_relu(conv64(f"post_upsample_conv_layer_{i}")(a4))
+        # 4: two nearest-neighbour x2 upsample + conv stages. With tail_hcw
+        # the SECOND stage's conv emits channels-before-width (N, H, C, W) —
+        # free at the conv, and the deform layers' row tilers then need no
+        # transposes at all (ConvHCW docstring; ~20 ms/tile at 1144^2).
+        a4 = leaky_relu(
+            conv64("post_upsample_conv_layer_1")(nearest_upsample(a3, 2))
+        )
+        a4 = nearest_upsample(a4, 2)
+        if cfg.tail_hcw:
+            a4 = leaky_relu(
+                ConvHCW(
+                    cfg.base_channels, cfg.init_scale, dtype,
+                    name="post_upsample_conv_layer_2",
+                )(a4)
+            )
+        else:
+            a4 = leaky_relu(conv64("post_upsample_conv_layer_2")(a4))
 
         # 5: two deformable convolution output layers (fp32 internally)
         a5 = leaky_relu(
             DeformableConv(
                 cfg.base_channels, cfg.init_scale, dtype,
-                clamp=cfg.deform_clamp, name="final_conv_layer1"
+                clamp=cfg.deform_clamp, name="final_conv_layer1",
+                in_hcw=cfg.tail_hcw, out_hcw=cfg.tail_hcw,
             )(a4)
         )
         return DeformableConv(
             cfg.out_channels, cfg.init_scale, dtype,
-            clamp=cfg.deform_clamp, name="final_conv_layer2"
+            clamp=cfg.deform_clamp, name="final_conv_layer2",
+            in_hcw=cfg.tail_hcw,
         )(a5)

@@ -252,10 +252,16 @@ def _pallas_path(cfg, x, offsets, weight, bias):
         deform_conv2d_pallas_zproj1,
     )
 
-    padding, clamp = cfg
+    padding, clamp, in_hcw, out_hcw = cfg
     if weight.shape[3] == 1:
-        return deform_conv2d_pallas_zproj1(x, offsets, weight, bias, padding, clamp)
-    return deform_conv2d_pallas(x, offsets, weight, bias, padding, clamp)
+        return deform_conv2d_pallas_zproj1(
+            x, offsets, weight, bias, padding, clamp,
+            in_hcw=in_hcw, out_hcw=out_hcw,
+        )
+    return deform_conv2d_pallas(
+        x, offsets, weight, bias, padding, clamp,
+        in_hcw=in_hcw, out_hcw=out_hcw,
+    )
 
 
 def _pallas_fwd(cfg, x, offsets, weight, bias):
@@ -265,8 +271,15 @@ def _pallas_fwd(cfg, x, offsets, weight, bias):
 def _pallas_bwd(cfg, residuals, g):
     # Backward through the numerically-identical XLA shifts formulation —
     # training tiles are small (36x36), so the XLA path's cost is irrelevant.
-    padding, clamp = cfg
+    # The shifts formulation is NHWC; channels-before-width layouts are
+    # transposed at this boundary (and the x/offsets cotangents back).
+    padding, clamp, in_hcw, out_hcw = cfg
     x, offsets, weight, bias = residuals
+    if in_hcw:
+        x = jnp.swapaxes(x, 2, 3)
+        offsets = jnp.swapaxes(offsets, 2, 3)
+    if out_hcw:
+        g = jnp.swapaxes(g, 2, 3)
     _, vjp = jax.vjp(
         lambda xx, oo, ww, bb: _deform_conv_shifts(xx, oo, ww, bb, padding, clamp),
         x,
@@ -274,20 +287,26 @@ def _pallas_bwd(cfg, residuals, g):
         weight,
         bias,
     )
-    return vjp(g)
+    gx, go, gw, gb = vjp(g)
+    if in_hcw:
+        gx = jnp.swapaxes(gx, 2, 3)
+        go = jnp.swapaxes(go, 2, 3)
+    return gx, go, gw, gb
 
 
 _pallas_path.defvjp(_pallas_fwd, _pallas_bwd)
 
 
 def deform_conv2d(
-    x: jax.Array,  # (N, H, W, C_in)
+    x: jax.Array,  # (N, H, W, C_in) — or (N, H, C_in, W) with in_hcw
     offsets: jax.Array,  # (N, H, W, 2*K) with K = kh*kw; [:K]=dy, [K:]=dx
     weight: jax.Array,  # (kh, kw, C_in, C_out)
     bias: Optional[jax.Array] = None,  # (C_out,)
     padding: int = 1,
     method: str = "auto",
     clamp: int = 2,
+    in_hcw: bool = False,
+    out_hcw: bool = False,
 ) -> jax.Array:
     """Deformable convolution v1, stride 1, square zero padding.
 
@@ -312,10 +331,17 @@ def deform_conv2d(
       'shifts' — gather-free masked-shift decomposition in pure XLA
           (portable; every shifted term round-trips HBM).
       'gather' — exact for unbounded offsets; slow on TPU, fine on CPU.
+
+    ``in_hcw`` / ``out_hcw``: channels-before-width layouts (N, H, C, W) on
+    input / output. The pallas path consumes/produces them natively (its row
+    tiler becomes pad + gather with no transposes — the layout the producing
+    conv can emit for ~free, models.blocks.ConvHCW); the XLA fallbacks
+    transpose at entry/exit for correctness.
     """
     if method == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        large = x.shape[1] * x.shape[2] >= 256 * 256
+        spatial = x.shape[1] * (x.shape[3] if in_hcw else x.shape[2])
+        large = spatial >= 256 * 256
         contracting = weight.shape[3] * 4 <= weight.shape[2]
         if on_tpu and large:
             method = "pallas"  # dispatches to zproj1 kernel when c_out == 1
@@ -323,13 +349,18 @@ def deform_conv2d(
             method = "zproj"
         else:
             method = "shifts"
-    if method == "zproj":
-        return _deform_conv_shifts_zproj(x, offsets, weight, bias, padding, clamp)
-    if method == "gather":
-        return _deform_conv_gather(x, offsets, weight, bias, padding)
-    if method == "shifts":
-        return _deform_conv_shifts(x, offsets, weight, bias, padding, clamp)
     if method == "pallas":
         b = jnp.zeros((weight.shape[-1],), x.dtype) if bias is None else bias
-        return _pallas_path((padding, clamp), x, offsets, weight, b)
-    raise ValueError(f"unknown deform_conv2d method {method!r}")
+        return _pallas_path((padding, clamp, in_hcw, out_hcw), x, offsets, weight, b)
+    if in_hcw:
+        x = jnp.swapaxes(x, 2, 3)
+        offsets = jnp.swapaxes(offsets, 2, 3)
+    if method == "zproj":
+        out = _deform_conv_shifts_zproj(x, offsets, weight, bias, padding, clamp)
+    elif method == "gather":
+        out = _deform_conv_gather(x, offsets, weight, bias, padding)
+    elif method == "shifts":
+        out = _deform_conv_shifts(x, offsets, weight, bias, padding, clamp)
+    else:
+        raise ValueError(f"unknown deform_conv2d method {method!r}")
+    return jnp.swapaxes(out, 2, 3) if out_hcw else out

@@ -59,8 +59,8 @@ def _tile_plan(n: int, h: int, w: int, bh: int):
     return hp, wp, gy, gx, n * gy * gx, starts
 
 
-def _tile_rows_cf(
-    x_cf: jax.Array,
+def _tile_rows_hcw(
+    x_hcw: jax.Array,
     starts: jax.Array,
     bh: int,
     rh: int,
@@ -68,43 +68,70 @@ def _tile_rows_cf(
     w: int,
     hp: int,
     wp: int,
+    lane_left: int = _LANE_HALO,
     prepadded: bool = False,
 ):
-    """Channels-first (N, C, H, W) image -> halo'd row-major tiles
-    (T, bh + 2*rh, C, 128). Pads with the row/lane halos (unless the caller
-    already did — ``prepadded``), then gathers one overlapping
-    (rows, C, 128) slab per tile (vmapped dynamic_slice)."""
-    c = x_cf.shape[1]
-    if prepadded:
-        x_big = x_cf
-    else:
-        x_big = jnp.pad(
-            x_cf,
-            ((0, 0), (0, 0), (rh, rh + hp - h), (_LANE_HALO, _LANE_HALO + wp - w)),
+    """Channels-BEFORE-width (N, H, C, W) image -> halo'd row-major tiles
+    (T, bh + 2*rh, C, 128) by pad + overlapping gather ONLY — an (H, C, W)
+    slice already IS (rows, C, lanes), so no transposes are emitted anywhere
+    (the producer's own NHWC -> NHCW swap is a minor-axis move XLA folds
+    into the producing op; the 6-D reshape/transpose this replaces measured
+    ~12 ms per layer at 1144^2, benchmarks/tpu_session_logs/
+    bench_pieces_r3.log). ``lane_left``: left lane padding — _LANE_HALO for
+    halo'd image reads, 0 for offset fields whose lane frame starts at the
+    tile's first output column (their trailing 8 lanes then hold the next
+    tile's columns rather than zeros; every kernel body either masks lanes
+    >= _BW (wx 'valid') or confines them to discarded output lanes)."""
+    c = x_hcw.shape[2]
+    if not prepadded:
+        x_hcw = jnp.pad(
+            x_hcw,
+            (
+                (0, 0),
+                (rh, rh + hp - h),
+                (0, 0),
+                (lane_left, (wp + 2 * _LANE_HALO - lane_left) - w),
+            ),
         )
 
     def grab(s):
-        sl = jax.lax.dynamic_slice(
-            x_big, (s[0], 0, s[1], s[2]), (1, c, bh + 2 * rh, _LANES)
+        return jax.lax.dynamic_slice(
+            x_hcw, (s[0], s[1], 0, s[2]), (1, bh + 2 * rh, c, _LANES)
         )[0]
-        return jnp.transpose(sl, (1, 0, 2))  # (rows, C, 128)
 
     return jax.vmap(grab)(starts)
 
 
 def _tile_offsets(
-    offsets: jax.Array, bh: int, k: int, hp: int, wp: int, gy: int, gx: int
+    off_hcw: jax.Array,
+    starts: jax.Array,
+    bh: int,
+    hp: int,
+    wp: int,
 ):
-    """(N, H, W, 2K) offset field -> (T, bh, 2K, 1, 128) per-row lane
-    vectors (lane dim = the tile's output columns; halo lanes zero)."""
-    n, h, w, _ = offsets.shape
-    off_p = jnp.pad(offsets, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
-    off_t = (
-        off_p.reshape(n, gy, bh, gx, _BW, 2 * k)
-        .transpose(0, 1, 3, 2, 5, 4)  # n, gy, gx, bh, 2K, bw
-        .reshape(n * gy * gx, bh, 2 * k, 1, _BW)
+    """(N, H, 2K, W) offset field -> (T, bh, 2K, 1, 128) per-row lane
+    vectors (lane dim = the tile's output columns) via the gather-only row
+    tiler."""
+    n, h, _, w = off_hcw.shape
+    off_t = _tile_rows_hcw(
+        off_hcw, starts, bh, 0, h, w, hp, wp, lane_left=0
     )
-    return jnp.pad(off_t, ((0, 0), (0, 0), (0, 0), (0, 0), (0, 2 * _LANE_HALO)))
+    return off_t[:, :, :, None, :]
+
+
+def _untile_out_hcw(
+    out: jax.Array, n: int, h: int, w: int, gy: int, gx: int, bh: int, c_out: int
+):
+    """(T, bh, C_out, bw) kernel output tiles -> (N, H, C_out, W) — the
+    channels-before-width layout the next deform layer's tiler consumes
+    without any transposes. The permutation here moves only the gx axis
+    inward (no minor-pair swap), unlike the NHWC untiler."""
+    out = (
+        out.reshape(n, gy, gx, bh, c_out, _BW)
+        .transpose(0, 1, 3, 4, 2, 5)
+        .reshape(n, gy * bh, c_out, gx * _BW)
+    )
+    return out[:, :h, :, :w]
 
 
 def _untile_out(
@@ -193,8 +220,8 @@ def _deform_rows_kernel(
 
 
 def deform_conv2d_pallas(
-    x: jax.Array,  # (N, H, W, C_in) NHWC
-    offsets: jax.Array,  # (N, H, W, 2*K)
+    x: jax.Array,  # (N, H, W, C_in) NHWC — or (N, H, C_in, W) with in_hcw
+    offsets: jax.Array,  # (N, H, W, 2*K) — or (N, H, 2*K, W) with in_hcw
     weight: jax.Array,  # (kh, kw, C_in, C_out)
     bias: Optional[jax.Array] = None,
     padding: int = 1,
@@ -203,11 +230,18 @@ def deform_conv2d_pallas(
     interpret: Optional[bool] = None,
     mxu_bf16: bool = False,
     kernel_body: str = "auto",
+    in_hcw: bool = False,
+    out_hcw: bool = False,
 ) -> jax.Array:
     """Forward-only Pallas deformable conv (see module docstring).
 
     H/W are padded up to block multiples internally; output is cropped back.
     ``interpret`` defaults to True off-TPU so tests run on the CPU mesh.
+    ``in_hcw`` / ``out_hcw``: channels-before-width (N, H, C, W) layouts on
+    input / output — with them the tiler is pad + gather only (no
+    transposes), and the producing conv emits the layout for ~free
+    (models.blocks.ConvHCW; a standalone transpose of the same tensors
+    measured ~10 ms/layer at 1144^2).
     ``mxu_bf16`` runs the banded body's shift matmuls with bf16 multiplicands
     (fp32 accumulation; banded-only — asserted, since measurement showed no
     effect: Mosaic fp32 dots already run bf16-multiplicand on this hardware).
@@ -217,13 +251,17 @@ def deform_conv2d_pallas(
     'stacked_packed' (v4: one shared slab + one lane-concatenated sampling
     dot per kernel row — 3x fewer MXU instructions at equal passes),
     'stacked_pipelined' (v5: the packed body with the sampling-matrix build
-    carried one row ahead so VPU build and MXU dots can overlap),
+    carried one row ahead so VPU build and MXU dots can overlap — measured
+    a ~15% LOSS, kept as the recorded dead end),
     'banded' (v1 S-matrix matmuls), 'rolls' (static lane rotations), or
     'auto' (= 'stacked').
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n, h, w, c_in = x.shape
+    if in_hcw:
+        n, h, c_in, w = x.shape
+    else:
+        n, h, w, c_in = x.shape
     kh, kw, _, c_out = weight.shape
     k = kh * kw
     bh = block_rows
@@ -232,13 +270,15 @@ def deform_conv2d_pallas(
 
     hp, wp, gy, gx, num_tiles, starts = _tile_plan(n, h, w, bh)
 
-    # channels-first padded image -> batch-major row tiles (T, rows, 1, C, 128)
-    x_cf = jnp.transpose(x, (0, 3, 1, 2))
-    x_tiles = _tile_rows_cf(x_cf, starts, bh, row_halo, h, w, hp, wp)[:, :, None]
+    # (N, H, C, W) image -> batch-major row tiles (T, rows, 1, C, 128) by
+    # pad + gather only (no transposes)
+    x_hcw = x if in_hcw else jnp.swapaxes(x, 2, 3)
+    x_tiles = _tile_rows_hcw(x_hcw, starts, bh, row_halo, h, w, hp, wp)[:, :, None]
 
     # offsets -> (T, bh, 2K, 1, 128): per-row, per-channel lane vectors with
-    # the lane dim holding the tile's output columns (halo lanes zero)
-    off_t = _tile_offsets(offsets, bh, k, hp, wp, gy, gx)
+    # the lane dim holding the tile's output columns
+    off_hcw = offsets if in_hcw else jnp.swapaxes(offsets, 2, 3)
+    off_t = _tile_offsets(off_hcw, starts, bh, hp, wp)
 
     if kernel_body == "auto":
         # stacked wins at every clamp (clamp=2: 20.8 vs banded 50; clamp=1:
@@ -317,8 +357,9 @@ def deform_conv2d_pallas(
         interpret=interpret,
     )(x_tiles, off_t, w_t, b)
 
-    # (T, bh, 1, C_out, 128) -> (N, H, W, C_out); keep lanes [0, _BW)
-    return _untile_out(out[:, :, 0, :, :_BW], n, h, w, gy, gx, bh, c_out)
+    # (T, bh, 1, C_out, 128) -> (N, H, W, C_out) or (N, H, C_out, W)
+    untile = _untile_out_hcw if out_hcw else _untile_out
+    return untile(out[:, :, 0, :, :_BW], n, h, w, gy, gx, bh, c_out)
 
 
 def _deform_stacked_kernel(
@@ -707,24 +748,29 @@ def _deform_zproj1_kernel(
 
 
 def deform_conv2d_pallas_zproj1(
-    x: jax.Array,  # (N, H, W, C_in) NHWC
-    offsets: jax.Array,  # (N, H, W, 2*K)
+    x: jax.Array,  # (N, H, W, C_in) NHWC — or (N, H, C_in, W) with in_hcw
+    offsets: jax.Array,  # (N, H, W, 2*K) — or (N, H, 2*K, W) with in_hcw
     weight: jax.Array,  # (kh, kw, C_in, 1)
     bias: Optional[jax.Array] = None,
     padding: int = 1,
     clamp: int = 2,
     block_rows: int = 64,
     interpret: Optional[bool] = None,
+    in_hcw: bool = False,
+    out_hcw: bool = False,
 ) -> jax.Array:
     """Single-output-channel deformable conv (the reference generator's final
     layer, srgan_train.py:517-523): project the input through the tap weights
     in XLA first (linearity of bilinear sampling), then sample the 9 scalar
     fields in a thin row-vectorized Pallas kernel. ~10x the banded v1 kernel
-    at this shape.
+    at this shape. Layout flags as in ``deform_conv2d_pallas``.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n, h, w, c_in = x.shape
+    if in_hcw:
+        n, h, c_in, w = x.shape
+    else:
+        n, h, w, c_in = x.shape
     kh, kw, _, c_out = weight.shape
     assert c_out == 1, "zproj1 kernel is specific to C_out == 1"
     k = kh * kw
@@ -738,9 +784,10 @@ def deform_conv2d_pallas_zproj1(
 
     hp, wp, gy, gx, num_tiles, starts = _tile_plan(n, h, w, bh)
 
-    # (N, K, H, W) tap projections at full fp32 matmul precision
+    # (N, H, K, W) tap projections at full fp32 matmul precision —
+    # channels-before-width so tiling is pad + gather only (no transposes)
     z = jnp.einsum(
-        "nhwc,kc->nkhw",
+        "nhcw,kc->nhkw" if in_hcw else "nhwc,kc->nhkw",
         x,
         weight.reshape(k, c_in),
         preferred_element_type=jnp.float32,
@@ -755,25 +802,26 @@ def deform_conv2d_pallas_zproj1(
         z,
         (
             (0, 0),
-            (0, 0),
             (row_halo, row_halo + hp - h),
+            (0, 0),
             (_LANE_HALO, _LANE_HALO + wp - w),
         ),
     )
     z_big = jnp.stack(
         [
-            jnp.roll(z_big[:, t], -(t % kw - padding), axis=-1)
+            jnp.roll(z_big[:, :, t], -(t % kw - padding), axis=-1)
             if t % kw != padding
-            else z_big[:, t]
+            else z_big[:, :, t]
             for t in range(k)
         ],
-        axis=1,
+        axis=2,
     )
-    z_tiles = _tile_rows_cf(
+    z_tiles = _tile_rows_hcw(
         z_big, starts, bh, row_halo, h, w, hp, wp, prepadded=True
     )
 
-    off_t = _tile_offsets(offsets, bh, k, hp, wp, gy, gx)
+    off_hcw = offsets if in_hcw else jnp.swapaxes(offsets, 2, 3)
+    off_t = _tile_offsets(off_hcw, starts, bh, hp, wp)
 
     b = (
         jnp.zeros((1, 1, 1), x.dtype)
@@ -816,8 +864,9 @@ def deform_conv2d_pallas_zproj1(
         interpret=interpret,
     )(z_tiles, off_t, b)
 
-    # (T, bh, 1, bw) -> (N, H, W, 1)
-    return _untile_out(out[:, :, 0, None, :_BW], n, h, w, gy, gx, bh, 1)
+    # (T, bh, 1, bw) -> (N, H, W, 1) or (N, H, 1, W)
+    untile = _untile_out_hcw if out_hcw else _untile_out
+    return untile(out[:, :, 0, None, :_BW], n, h, w, gy, gx, bh, 1)
 
 
 def _deform_zform_kernel(
@@ -1002,10 +1051,10 @@ def deform_conv2d_pallas_zform(
 
     hp, wp, gy, gx, num_tiles, starts = _tile_plan(n, h, w, bh)
 
-    x_cf = jnp.transpose(x, (0, 3, 1, 2))
-    x_tiles = _tile_rows_cf(x_cf, starts, bh, row_halo, h, w, hp, wp)[:, :, None]
+    x_hcw = jnp.swapaxes(x, 2, 3)
+    x_tiles = _tile_rows_hcw(x_hcw, starts, bh, row_halo, h, w, hp, wp)[:, :, None]
 
-    off_t = _tile_offsets(offsets, bh, k, hp, wp, gy, gx)
+    off_t = _tile_offsets(jnp.swapaxes(offsets, 2, 3), starts, bh, hp, wp)
 
     # tap-major projection matrix: rows t*c_out + co hold weight[u, v, :, co]
     w_t = jnp.transpose(weight.reshape(k, c_in, c_out), (0, 2, 1)).reshape(
