@@ -27,6 +27,10 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 
+from deepbedmap_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()  # compiled executables persist across runs
+
 if os.environ.get("CPU") == "1":  # harness smoke test
     jax.config.update("jax_platforms", "cpu")
 

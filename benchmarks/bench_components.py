@@ -21,6 +21,10 @@ import json
 import time
 
 import jax
+
+from deepbedmap_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()  # compiled executables persist across runs
 import jax.numpy as jnp
 import numpy as np
 

@@ -17,6 +17,10 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+from deepbedmap_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()  # compiled executables persist across runs
 import jax.numpy as jnp
 import numpy as np
 from jax import lax

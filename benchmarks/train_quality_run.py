@@ -30,6 +30,10 @@ import time
 
 import jax
 
+from deepbedmap_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()  # compiled executables persist across runs
+
 # resumed invocations should not repay the multi-minute train-step compile
 jax.config.update(
     "jax_compilation_cache_dir",

@@ -672,6 +672,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # every CLI entry point gets the persistent XLA compilation cache (the
+    # continent predictor's first compile is minutes; later runs ~free) —
+    # opt out with DEEPBEDMAP_JAX_CACHE=off
+    from deepbedmap_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -54,11 +54,13 @@ class GeneratorConfig:
     # models — validate on your checkpoint before switching from 2.
     deform_clamp: int = 2
     # Channels-before-width (N, H, C, W) layout through the generator tail
-    # (2nd upsample conv -> both deform layers): the tail convs emit the
-    # layout natively (~free) and the deform row tiler becomes pad + gather,
-    # removing ~10 ms/layer of transposes at continent-tile sizes. Same
-    # math, same parameter tree; off = plain-NHWC reference layout.
-    tail_hcw: bool = True
+    # (2nd upsample conv -> both deform layers): the deform row tiler then
+    # needs no transposes (pad + gather only). Measured in-model at the
+    # continent tile shape it is a 2.4 ms LOSS vs plain NHWC (115.9 vs
+    # 113.4 ms, benchmarks/bench_ablate.py) — XLA materialises the same
+    # physical shuffle either way, just inside the producing conv instead.
+    # Kept as a tested option + recorded dead end; default off.
+    tail_hcw: bool = False
 
     @property
     def concat_channels(self) -> int:

@@ -108,9 +108,10 @@ class Generator(nn.Module):
         a3 = conv64("post_residual_conv_layer")(a2) + a1
 
         # 4: two nearest-neighbour x2 upsample + conv stages. With tail_hcw
-        # the SECOND stage's conv emits channels-before-width (N, H, C, W) —
-        # free at the conv, and the deform layers' row tilers then need no
-        # transposes at all (ConvHCW docstring; ~20 ms/tile at 1144^2).
+        # the SECOND stage's conv emits channels-before-width (N, H, C, W)
+        # and the deform layers' row tilers then need no transposes — but
+        # measured in-model this is a small LOSS (config.py tail_hcw note),
+        # so the flag defaults off.
         a4 = leaky_relu(
             conv64("post_upsample_conv_layer_1")(nearest_upsample(a3, 2))
         )

@@ -363,6 +363,9 @@ def serve_forever(
     token: Optional[str] = None,
     bucket_px: int = 0,
 ) -> None:
+    from deepbedmap_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # shape-keyed jits persist across restarts
     server = make_server(
         dbm, host, port, data_root=data_root, token=token, bucket_px=bucket_px
     )

@@ -140,3 +140,43 @@ def test_fixed_evaluator():
     r1 = evaluate(params)
     r2 = evaluate(params)
     assert np.isfinite(r1) and r1 == r2
+
+
+def test_enable_persistent_cache(tmp_path, monkeypatch):
+    """The cache helper creates the directory, points jax at it, and honors
+    the =off opt-out; a compiled jit lands an entry on disk."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepbedmap_tpu.utils.compilation_cache import enable_persistent_cache
+
+    monkeypatch.setenv("DEEPBEDMAP_JAX_CACHE", "off")
+    assert enable_persistent_cache() == ""
+
+    # the persistent-cache singleton binds to the first directory used in
+    # the process (the conftest's); rebind it to this test's tmp dir
+    from jax._src import compilation_cache as _cc
+
+    _cc.reset_cache()
+    cache = tmp_path / "jax_cache"
+    got = enable_persistent_cache(str(cache), min_compile_secs=0.0)
+    assert got == str(cache) and cache.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(cache)
+
+    @jax.jit
+    def f(a):
+        return jnp.tanh(a @ a.T).sum()
+
+    try:
+        float(f(jnp.ones((64, 64), jnp.float32)))
+        assert list(cache.iterdir()), "no cache entry written"
+    finally:
+        # restore the suite-wide cache dir set by conftest
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("DEEPBEDMAP_JAX_CACHE_RESTORE", "/tmp/deepbedmap_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _cc.reset_cache()
