@@ -36,9 +36,18 @@ def enable_persistent_cache(
     Compiles faster than ``min_compile_secs`` are not cached (they are
     cheaper to redo than to deserialise).
     """
+    explicit = path is not None or "DEEPBEDMAP_JAX_CACHE" in os.environ
     if path is None:
         path = os.environ.get("DEEPBEDMAP_JAX_CACHE", _DEFAULT)
     if path.lower() in ("off", "none", "0", ""):
+        return ""
+    # Measured caveat (benchmarks/RESULTS.md): on this image's axon
+    # remote-TPU tunnel, deserialising a LARGE cached executable (36 MB,
+    # Mosaic custom calls) took ~15 min — far worse than the ~6 min fresh
+    # compile — while small programs load in ~0.3 s. Default to OFF when
+    # the axon platform is registered; an explicit path or env var is an
+    # opt-in that overrides this.
+    if not explicit and "axon" in (jax.config.jax_platforms or ""):
         return ""
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
