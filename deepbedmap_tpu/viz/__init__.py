@@ -19,6 +19,7 @@ from deepbedmap_tpu.viz.paper import (  # noqa: F401
     closeup_fig,
     fig_3d_comparison,
     fig_architecture,
+    fig_input_thumbnails,
     fig_dem_overview,
     fig_roughness_grids,
     fig_transect,

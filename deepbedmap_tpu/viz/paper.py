@@ -5,6 +5,8 @@ Each ``fig_*`` function reproduces one of the reference paper's figure types:
 
 - ``plot_3d_view``        — grdview-style 3-D DEM perspective
                             (deepbedmap.py:242-295)
+- ``fig_input_thumbnails``— per-input raster panels, fig1a-e thumbnails that
+                            compose with the architecture diagram (Figure 1)
 - ``fig_3d_comparison``   — 2x2 grid of 3-D views, Figure 3 / AC2 Figure 1
                             (paper_figures.py:622-667, 1125-1166)
 - ``fig_dem_overview``    — whole-continent DEM + grounding line + study-region
@@ -356,6 +358,60 @@ def fig_transect(
     if rough_range:
         ax_r.set_ylim(rough_range)
     ax_e.legend(markerscale=4)
+    fig.tight_layout()
+    return fig
+
+
+def fig_input_thumbnails(
+    rasters: Dict[str, Raster],
+    cmaps: Optional[Dict[str, str]] = None,
+    shade: Tuple[str, ...] = ("bedmap2", "deepbedmap"),
+):
+    """Model input/output thumbnail panels — the reference's fig1a-e
+    (paper_figures.py:75-132): one small image per conditioning raster
+    (BEDMAP2 bed, REMA surface, MEaSUREs velocity, accumulation) plus the
+    predicted DEM, composed alongside the architecture diagram into the
+    paper's Figure 1. Elevation panels named in ``shade`` get a Lambertian
+    hillshade intensity overlay (the reference's grdimage ``I="+d"``)."""
+    import matplotlib.pyplot as plt
+
+    defaults = {
+        "bedmap2": "jet",
+        "rema": "viridis",
+        "measures": "magma",
+        "accumulation": "YlGnBu",
+        "deepbedmap": "jet",
+    }
+    cmaps = {**defaults, **(cmaps or {})}
+
+    n = len(rasters)
+    fig, axes = plt.subplots(n, 1, figsize=(3.0, 2.6 * n))
+    if n == 1:
+        axes = [axes]
+    for ax, (name, raster) in zip(axes, rasters.items()):
+        if isinstance(raster, (tuple, list)):  # (vx, vy) pair: magnitude
+            data = np.hypot(raster[0].masked(), raster[1].masked())
+            raster = raster[0]
+        else:
+            data = raster.masked()
+        ax.imshow(
+            data,
+            cmap=cmaps.get(name.lower(), "viridis"),
+            extent=_extent(raster),
+            interpolation="nearest",
+        )
+        if name.lower() in shade:
+            shaded = hillshade(np.nan_to_num(np.asarray(data)))
+            ax.imshow(
+                np.asarray(shaded),
+                cmap="gray",
+                alpha=0.35,
+                extent=_extent(raster),
+                interpolation="nearest",
+            )
+        ax.set_title(name, fontsize=8)
+        ax.set_xticks([])
+        ax.set_yticks([])
     fig.tight_layout()
     return fig
 

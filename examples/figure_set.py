@@ -38,6 +38,7 @@ from deepbedmap_tpu.viz import (
     fig_3d_comparison,
     fig_architecture,
     fig_dem_overview,
+    fig_input_thumbnails,
     fig_roughness_grids,
     fig_transect,
 )
@@ -176,5 +177,16 @@ log("fig6_elevation_roughness_transect.png")
 fig = fig_architecture()
 fig.savefig(os.path.join(outdir, "architecture.png"), dpi=120)
 log("architecture.png")
+
+# ---- fig1 thumbnails: one panel per model input + the prediction ----
+fig = fig_input_thumbnails(
+    {
+        "BEDMAP2": bedmap2,
+        "MEaSUREs": (deepbedmap, bedmap2),  # (vx, vy) stand-ins
+        "DeepBedMap": deepbedmap,
+    }
+)
+fig.savefig(os.path.join(outdir, "fig1_input_thumbnails.png"), dpi=120)
+log("fig1_input_thumbnails.png")
 
 log(f"figure set written to {outdir}")

@@ -18,6 +18,7 @@ from deepbedmap_tpu.viz import (
     closeup_fig,
     fig_3d_comparison,
     fig_architecture,
+    fig_input_thumbnails,
     fig_dem_overview,
     fig_roughness_grids,
     fig_transect,
@@ -157,3 +158,24 @@ def test_base_figures_still_render(dem, rng):
     plot_dem(dem, title="dem")
     plot_comparison({"a": dem, "b": dem})
     plot_error_histogram({"m": rng.randn(500)})
+
+
+def test_fig_input_thumbnails(dem, rng):
+    """Reference fig1a-e thumbnails: one panel per conditioning raster, the
+    velocity raster collapsed to magnitude, elevation panels hillshaded."""
+    def vel():
+        return Raster(
+            data=rng.randn(24, 28).astype(np.float32),
+            left=-1_600_000.0,
+            top=-100_000.0,
+            res=500.0,
+        )
+
+    fig = fig_input_thumbnails(
+        {"BEDMAP2": dem, "MEaSUREs": (vel(), vel()), "Accumulation": dem}
+    )
+    assert len(fig.axes) == 3
+    # the hillshade overlay doubles the image count on the bedmap2 panel
+    assert len(fig.axes[0].images) == 2
+    assert len(fig.axes[1].images) == 1
+    assert fig.axes[0].get_title() == "BEDMAP2"
