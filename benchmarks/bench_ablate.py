@@ -149,9 +149,15 @@ def main():
     variants = {
         "full": GeneratorConfig(),
         "tail_nhwc": GeneratorConfig(tail_hcw=False),
+        # both deform layers fused in one tiled domain (ops.pallas_tail)
+        "tail_fused": GeneratorConfig(tail_fused=True),
         # half-depth trunk: (full - trunk_6) / 6 = ms per RRDB in-model
         "trunk_6": GeneratorConfig(num_residual_blocks=6),
     }
+    only = os.environ.get("ONLY")
+    if only:
+        keep = only.split(",")
+        variants = {k: v for k, v in variants.items() if k in keep}
     results = {}
     for name, cfg in variants.items():
         log(f"compiling {name} (~2-6 min)...")
@@ -160,23 +166,29 @@ def main():
         results[name] = round(ms, 2)
         log(f"{name}: {ms:.2f} ms")
 
-    log("compiling no_deform (~2-6 min)...")
-    model = _ablated_generator(GeneratorConfig())
-    params = model.init(jax.random.PRNGKey(0), *example_inputs_nhwc(1, 11))[
-        "params"
-    ]
-    ms = bench_forward(model, params, xs)
-    results["no_deform"] = round(ms, 2)
-    log(f"no_deform: {ms:.2f} ms")
+    if not only or "no_deform" in (only or "").split(","):
+        log("compiling no_deform (~2-6 min)...")
+        model = _ablated_generator(GeneratorConfig())
+        params = model.init(jax.random.PRNGKey(0), *example_inputs_nhwc(1, 11))[
+            "params"
+        ]
+        ms = bench_forward(model, params, xs)
+        results["no_deform"] = round(ms, 2)
+        log(f"no_deform: {ms:.2f} ms")
 
     n_full = GeneratorConfig().num_residual_blocks
-    if "trunk_6" in results and n_full != 6:
+    if "tail_fused" in results and "full" in results:
+        log(
+            f"fused tail in-model delta: "
+            f"{results['full'] - results['tail_fused']:+.1f} ms"
+        )
+    if "trunk_6" in results and "full" in results and n_full != 6:
         per_block = (results["full"] - results["trunk_6"]) / (n_full - 6)
         log(
             f"in-model trunk: {per_block * n_full:.1f} ms "
             f"({per_block:.2f} ms/RRDB x {n_full})"
         )
-    if "no_deform" in results:
+    if "no_deform" in results and "full" in results:
         log(f"in-model deform total: {results['full'] - results['no_deform']:.1f} ms")
     print(json.dumps(results))
     log("DONE")

@@ -61,6 +61,16 @@ class GeneratorConfig:
     # physical shuffle either way, just inside the producing conv instead.
     # Kept as a tested option + recorded dead end; default off.
     tail_hcw: bool = False
+    # Fuse BOTH deformable output layers into one tiled domain
+    # (ops.pallas_tail): tile once, deform64 emits a halo'd tile with the
+    # LeakyReLU fused in, the second offset conv / zproj projection run on
+    # the tile batch, and only the final 1-channel output is untiled. Kills
+    # the untile -> retile round trip between the layers (~25 ms of the
+    # 116 ms continent-tile forward, benchmarks/RESULTS.md) at the price of
+    # ~10% redundant halo compute. Parameter tree is identical to the
+    # unfused layers, so checkpoints and the Chainer shim are unaffected.
+    # Dispatches to the pure-XLA composition on CPU / small tiles.
+    tail_fused: bool = False
 
     @property
     def concat_channels(self) -> int:

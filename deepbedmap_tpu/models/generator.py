@@ -29,7 +29,48 @@ from deepbedmap_tpu.models.blocks import (
     he_normal_chainer,
     leaky_relu,
 )
+from deepbedmap_tpu.ops.pallas_tail import fused_deform_tail
 from deepbedmap_tpu.ops.resize import nearest_upsample
+
+
+class _ConvParams(nn.Module):
+    """Declares an nn.Conv-shaped ('kernel', 'bias') param pair without the
+    conv — the fused tail applies the arrays itself (ops.pallas_tail), but
+    the tree must stay bit-identical to the unfused layers for checkpoint
+    and Chainer-shim compatibility."""
+
+    shape: tuple
+    init_scale: float
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", he_normal_chainer(self.init_scale), self.shape)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return k, b
+
+
+class _DeformLayerParams(nn.Module):
+    """Param tree of one DeformableConv (offset_conv/{kernel,bias}, kernel,
+    bias) — names, shapes and initialisers match ``models.blocks
+    .DeformableConv`` exactly (per-param RNG streams derive from the path,
+    so even init values are identical)."""
+
+    c_in: int
+    features: int
+    init_scale: float
+
+    @nn.compact
+    def __call__(self):
+        ok, ob = _ConvParams(
+            (3, 3, self.c_in, 18), self.init_scale, name="offset_conv"
+        )()
+        w = self.param(
+            "kernel",
+            he_normal_chainer(self.init_scale),
+            (3, 3, self.c_in, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return ok, ob, w, b
 
 
 class _RRDBStep(nn.Module):
@@ -126,7 +167,23 @@ class Generator(nn.Module):
         else:
             a4 = leaky_relu(conv64("post_upsample_conv_layer_2")(a4))
 
-        # 5: two deformable convolution output layers (fp32 internally)
+        # 5: two deformable convolution output layers (fp32 internally).
+        # tail_fused runs both in one tiled domain (ops.pallas_tail) with an
+        # identical parameter tree; reference layers: srgan_train.py:506-523.
+        if cfg.tail_fused:
+            assert not cfg.tail_hcw, "tail_fused and tail_hcw are exclusive"
+            assert cfg.out_channels == 1, "fused tail requires out_channels=1"
+            p1 = _DeformLayerParams(
+                cfg.base_channels, cfg.base_channels, cfg.init_scale,
+                name="final_conv_layer1",
+            )()
+            p2 = _DeformLayerParams(
+                cfg.base_channels, cfg.out_channels, cfg.init_scale,
+                name="final_conv_layer2",
+            )()
+            return fused_deform_tail(
+                a4.astype(jnp.float32), *p1, *p2, clamp=cfg.deform_clamp
+            )
         a5 = leaky_relu(
             DeformableConv(
                 cfg.base_channels, cfg.init_scale, dtype,

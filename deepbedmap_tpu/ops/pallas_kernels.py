@@ -376,9 +376,22 @@ def _deform_stacked_kernel(
     kh: int,
     kw: int,
     pack_taps: bool = False,
+    lane_base: Optional[int] = None,
+    mask_lanes: bool = True,
+    apply_lrelu: bool = False,
 ):
     """Banded-matmul body v3: identical decomposition to
     ``_deform_rows_kernel`` with the MXU work batched into large matmuls.
+
+    ``lane_base`` (default ``_LANE_HALO``): lane offset between the offset
+    frame and the x frame — the standalone wrapper tiles offsets with
+    lane_left=0 (frame starts at the first output column) while x carries a
+    ``_LANE_HALO`` left halo; the fused-tail path (ops.pallas_tail) tiles
+    both in ONE shared frame, so lane_base=0. ``mask_lanes``: zero wx for
+    lanes >= _BW (standalone trailing-lane hygiene); the fused path keeps
+    all 128 lanes live (its consumable region is interior) and masks
+    validity outside the kernel. ``apply_lrelu``: fuse the generator's
+    LeakyReLU(0.2) into the output write (srgan_train.py:552-555).
 
     Per output row the v1 body issues 54 thin (C,128)x(128,128) dots (9 taps x
     6 sy) plus 9 (C_out,C)x(C,128) tap contractions; at 1144^2 x 64ch the
@@ -401,16 +414,22 @@ def _deform_stacked_kernel(
     c_in = x_ref.shape[3]
     c_out = out_ref.shape[3]
     span = 2 * clamp + 2  # sy/sx shift count
+    if lane_base is None:
+        lane_base = _LANE_HALO
 
     l_idx = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (_LANES,), 0)
-    valid = (lane < _BW).astype(jnp.float32)
+    valid = (
+        (lane < _BW).astype(jnp.float32)
+        if mask_lanes
+        else jnp.ones((_LANES,), jnp.float32)
+    )
 
     # static (band == sx) masks per tap-column v: band = l - j - base(v)
     band_masks = {}
     for v in range(kw):
-        base = _LANE_HALO + (v - padding)
+        base = lane_base + (v - padding)
         band = l_idx - j_idx - base
         band_masks[v] = [
             (band == sx).astype(jnp.float32) for sx in range(-clamp, clamp + 2)
@@ -488,7 +507,11 @@ def _deform_stacked_kernel(
 
         y_all = jnp.concatenate(tap_outs, axis=0)  # (K*C, 128)
         acc = jnp.dot(w_ref[...], y_all, preferred_element_type=jnp.float32)
-        out_ref[0, r, 0] = (acc + b_ref[0]).astype(out_ref.dtype)
+        acc = acc + b_ref[0]
+        if apply_lrelu:
+            # == leaky_relu(acc, 0.2) exactly: 0.2*a <= a iff a >= 0
+            acc = jnp.maximum(acc, 0.2 * acc)
+        out_ref[0, r, 0] = acc.astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, bh, row_body, 0)
@@ -690,23 +713,36 @@ def _deform_zproj1_kernel(
     clamp: int,
     kh: int,
     kw: int,
+    lane_base: Optional[int] = None,
+    off_row_base: int = 0,
 ):
     """Sampling-only kernel for the C_out == 1 zproj path: the tap projections
     ``z_t = x @ W_t`` arrive precomputed (XLA matmul) with each tap's static
     column offset already rolled in; this body evaluates the masked-shift
     bilinear terms for 8 output rows per VPU op (rows on the sublane axis).
+
+    ``lane_base`` (default ``row_halo``): lane offset between the offset
+    frame and the z frame (0 when the fused tail tiles both in one shared
+    frame). ``off_row_base``: row offset into off_ref for output row 0 (the
+    fused tail's offset field carries the same row halo as z).
     """
     k = kh * kw
+    if lane_base is None:
+        lane_base = row_halo
 
     def row8_body(r8, _):
         r = r8 * 8
         dy = jnp.clip(
-            off_ref[0, pl.ds(r, 8), pl.ds(0, k), 0].astype(jnp.float32),
+            off_ref[0, pl.ds(r + off_row_base, 8), pl.ds(0, k), 0].astype(
+                jnp.float32
+            ),
             -clamp,
             clamp,
         )  # (8, K, 128)
         dx = jnp.clip(
-            off_ref[0, pl.ds(r, 8), pl.ds(k, k), 0].astype(jnp.float32),
+            off_ref[0, pl.ds(r + off_row_base, 8), pl.ds(k, k), 0].astype(
+                jnp.float32
+            ),
             -clamp,
             clamp,
         )
@@ -734,7 +770,7 @@ def _deform_zproj1_kernel(
                         wy[:, g * kw : (g + 1) * kw]
                         * wxs[xi][:, g * kw : (g + 1) * kw]
                     )
-                    rolled = jnp.roll(slab, -(row_halo + xi - clamp), axis=2)
+                    rolled = jnp.roll(slab, -(lane_base + xi - clamp), axis=2)
                     acc = acc + w * rolled
                 total = total + acc.sum(axis=1)
 
