@@ -43,10 +43,21 @@ def build_tile_inputs(crop_lr: int = 288, batch: int = 1, seed: int = 0):
 
 
 def main() -> None:
+    import os
+
     from deepbedmap_tpu.config import GeneratorConfig
     from deepbedmap_tpu.models import build_generator
 
-    model, params = build_generator(GeneratorConfig(), lr=11)
+    # variant sweeps for measurement sessions (defaults = the shipped config):
+    # TAIL_FUSED=0/1, PACK_TAPS=0/1, DTYPE=float32/bfloat16
+    cfg = GeneratorConfig()
+    cfg = GeneratorConfig(
+        tail_fused=os.environ.get("TAIL_FUSED", "1" if cfg.tail_fused else "0") == "1",
+        tail_pack_taps=os.environ.get(
+            "PACK_TAPS", "1" if cfg.tail_pack_taps else "0") == "1",
+        compute_dtype=os.environ.get("DTYPE", cfg.compute_dtype),
+    )
+    model, params = build_generator(cfg, lr=11)
 
     @jax.jit
     def forward(params, x, w1, w2, w3):
@@ -95,11 +106,20 @@ def main() -> None:
     per_tile = (timed(forward_many, (params,) + inputs, iters) - sync_overhead) / REPS
     tiles_per_sec = 1.0 / max(per_tile, 1e-9)
 
+    # honest MFU: analytic minimal FLOPs (utils/flops.py — Pallas kernels
+    # are invisible to XLA cost analysis, and tiled halo redundancy must
+    # not be credited) over the v5e 197 TFLOP/s bf16 peak
+    from deepbedmap_tpu.utils.flops import generator_mfu
+
+    mfu = generator_mfu(per_tile, lr=crop_lr)
+
     result = {
         "metric": "sr_tiles_per_sec_per_chip",
         "value": round(tiles_per_sec, 3),
         "unit": "288px-lr continent tiles/s/chip",
         "vs_baseline": round(tiles_per_sec / NORTH_STAR_TILES_PER_SEC_PER_CHIP, 3),
+        "achieved_tflops": round(mfu["achieved_tflops"], 2),
+        "mfu_vs_197tflops_bf16_peak": round(mfu["mfu"], 4),
     }
     print(json.dumps(result))
 

@@ -151,6 +151,15 @@ def main():
         "tail_nhwc": GeneratorConfig(tail_hcw=False),
         # both deform layers fused in one tiled domain (ops.pallas_tail)
         "tail_fused": GeneratorConfig(tail_fused=True),
+        # fused tail with the v4 tap-packed deform64 body
+        "tail_fused_packed": GeneratorConfig(
+            tail_fused=True, tail_pack_taps=True
+        ),
+        # bf16 conv compute (params fp32, samplers fp32; config.py policy)
+        "bf16": GeneratorConfig(compute_dtype="bfloat16"),
+        "bf16_tail_fused": GeneratorConfig(
+            compute_dtype="bfloat16", tail_fused=True
+        ),
         # half-depth trunk: (full - trunk_6) / 6 = ms per RRDB in-model
         "trunk_6": GeneratorConfig(num_residual_blocks=6),
     }

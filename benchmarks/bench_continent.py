@@ -45,7 +45,17 @@ def main():
     gy, gx = plan.grid
     assert (gy, gx) == (18, 22) and plan.num_tiles == 396
 
-    model, params = build_generator(GeneratorConfig(), lr=11)
+    # generator-variant sweeps without editing the script (r4 session):
+    # TAIL_FUSED=1, PACK_TAPS=1, DTYPE=bfloat16
+    cfg = GeneratorConfig(
+        tail_fused=os.environ.get("TAIL_FUSED", "") == "1",
+        tail_pack_taps=os.environ.get("PACK_TAPS", "") == "1",
+        compute_dtype=os.environ.get("DTYPE", "float32"),
+    )
+    print(json.dumps({"config": {
+        "tail_fused": cfg.tail_fused, "tail_pack_taps": cfg.tail_pack_taps,
+        "compute_dtype": cfg.compute_dtype}}), flush=True)
+    model, params = build_generator(cfg, lr=11)
 
     def forward_fn(x, w1, w2, w3):
         return model.apply({"params": params}, x, w1, w2, w3)

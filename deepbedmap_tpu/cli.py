@@ -178,11 +178,48 @@ def cmd_train(args) -> int:
 
 
 def cmd_hpo(args) -> int:
+    """HPO over real tile arrays with a real fixed-test-area RMSE objective —
+    the reference's actual workflow (srgan_train.py:1725-1757: Optuna study
+    over the built dataset, per-epoch Pine-Island RMSE, top-10 report)."""
+    import numpy as np
+
     from deepbedmap_tpu.data.dataset import TileDataset
     from deepbedmap_tpu.hpo import create_study
     from deepbedmap_tpu.train.objective import objective
 
-    dataset = TileDataset.synthetic(args.synthetic_tiles, seed=0)
+    if args.tiles:
+        arrays = {
+            k: np.load(f"{args.tiles}/{k}_data.npy")
+            for k in ("X", "W1", "W2", "W3", "Y")
+        }
+        dataset = TileDataset.from_nchw(arrays)
+    else:
+        dataset = TileDataset.synthetic(args.synthetic_tiles, seed=0)
+
+    # fixed-test-area evaluator (reference get_deepbedmap_test_result): the
+    # optimised value is then real metres, not the dev-loss proxy. Built per
+    # trial (residual_scaling changes the forward pass).
+    make_evaluator = None
+    if args.eval_inputs:
+        import pandas as pd
+
+        from deepbedmap_tpu.evalx.fixed import make_fixed_evaluator
+
+        assert args.eval_track and args.eval_bounds, (
+            "--eval-inputs requires --eval-track and --eval-bounds"
+        )
+        eval_inputs = {
+            k: np.load(f"{args.eval_inputs}/{k}.npy")
+            for k in ("X", "W1", "W2", "W3")
+        }
+        track = pd.read_csv(args.eval_track)
+        bounds = tuple(float(v) for v in args.eval_bounds.split(","))
+        make_evaluator = lambda g_model: make_fixed_evaluator(  # noqa: E731
+            g_model, eval_inputs,
+            (track.x.values, track.y.values, track.z.values),
+            bounds, resolution=args.eval_resolution,
+        )
+
     study = create_study(
         direction="minimize",
         storage=args.storage,
@@ -202,19 +239,38 @@ def cmd_hpo(args) -> int:
             num_epochs=trial.suggest_int("num_epochs", 1, 2),
         )
 
-    suggest = tiny_space if args.tiny else None
-    kwargs = {"suggest": suggest} if suggest else {}
+    kwargs = {}
+    if args.tiny:
+        kwargs["suggest"] = tiny_space
+    if make_evaluator is not None:
+        kwargs["make_evaluator"] = make_evaluator
+    if args.checkpoint_dir:
+        kwargs["checkpoint_dir"] = args.checkpoint_dir
     study.optimize(lambda t: objective(t, dataset, **kwargs), n_trials=args.trials)
+
+    # top-N trials report (reference: top-10 dataframe, srgan_train.py:1751-1757)
+    df = study.trials_dataframe()
+    completed = df[df.state == "COMPLETE"].sort_values("value")
+    top = completed.head(args.top_n)
+    _log(top.to_string(index=False))
+    top_records = top.to_dict(orient="records")
+    if args.report:
+        with open(args.report, "w") as f:
+            json.dump({"top_trials": top_records,
+                       "n_trials": len(study.trials)}, f, indent=2)
     _emit(
         {
             "command": "hpo",
             "trials": len(study.trials),
             "best_value": round(study.best_value, 4),
-            # no fixed-test-area evaluator is wired on the CLI path, so the
-            # optimised value is the dev-set generator loss, NOT metres
-            # (train/objective.py stand-in; see record['rmse_is_proxy'])
-            "value_metric": "val_generator_loss_proxy",
+            # with a wired evaluator the value is metres; otherwise the
+            # dev-set generator loss stands in (train/objective.py)
+            "value_metric": (
+                "rmse_test_m" if make_evaluator is not None
+                else "val_generator_loss_proxy"
+            ),
             "best_params": study.best_params,
+            "top_trials": top_records,
         }
     )
     return 0
@@ -558,8 +614,26 @@ def build_parser() -> argparse.ArgumentParser:
     h.add_argument("--trials", type=int, default=3)
     h.add_argument("--storage", default=None, help="sqlite:///path.db")
     h.add_argument("--seed", type=int, default=42)
+    h.add_argument(
+        "--tiles", default=None,
+        help="dir with X/W1/W2/W3/Y_data.npy (the `build` output); default "
+        "falls back to synthetic tiles",
+    )
     h.add_argument("--synthetic-tiles", type=int, default=16)
     h.add_argument("--tiny", action="store_true", help="tiny search space (smoke)")
+    h.add_argument(
+        "--eval-inputs", default=None,
+        help="dir with X/W1/W2/W3.npy (NCHW) covering the fixed test area — "
+        "wires the real RMSE objective (reference Pine Island evaluator)",
+    )
+    h.add_argument("--eval-track", default=None, help="csv with x,y,z columns")
+    h.add_argument("--eval-bounds", default=None, help="xmin,ymin,xmax,ymax")
+    h.add_argument("--eval-resolution", type=float, default=250.0)
+    h.add_argument("--checkpoint-dir", default=None,
+                   help="save per-trial best checkpoints here")
+    h.add_argument("--top-n", type=int, default=10,
+                   help="trials in the report (reference prints top 10)")
+    h.add_argument("--report", default=None, help="write the top-N report JSON here")
     h.set_defaults(fn=cmd_hpo)
 
     pr = sub.add_parser("predict", help="super-resolve one region")

@@ -69,8 +69,17 @@ class GeneratorConfig:
     # 116 ms continent-tile forward, benchmarks/RESULTS.md) at the price of
     # ~10% redundant halo compute. Parameter tree is identical to the
     # unfused layers, so checkpoints and the Chainer shim are unaffected.
-    # Dispatches to the pure-XLA composition on CPU / small tiles.
+    # Dispatches to the pure-XLA composition on CPU / small tiles. Under
+    # compute_dtype='bfloat16' the fused path runs its offset convs at the
+    # compute dtype too (matching the unfused DeformableConv's
+    # nn.Conv(dtype=...)), so fused vs unfused stays apples-to-apples.
     tail_fused: bool = False
+    # v4 tap-packed deform64 body inside the fused tail (one x slab + one
+    # lane-concatenated dot per kernel row instead of one dot per tap) —
+    # same numerics, 3x fewer MXU instructions; measured standalone it tied
+    # v3 (benchmarks/RESULTS.md), kept selectable for the fused-tail
+    # geometry where instruction issue differs.
+    tail_pack_taps: bool = False
 
     @property
     def concat_channels(self) -> int:

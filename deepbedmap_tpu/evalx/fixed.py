@@ -45,16 +45,25 @@ def make_fixed_evaluator(
     xmin, ymin, xmax, ymax = bounds
 
     @jax.jit
+    def predict(g_params):
+        return g_model.apply({"params": g_params}, x, w1, w2, w3)[0, :, :, 0]
+
+    @jax.jit
     def evaluate(g_params):
-        pred = g_model.apply({"params": g_params}, x, w1, w2, w3)[0, :, :, 0]
         # bicubic: GMT grdtrack's default, what the reference's per-epoch RMSE
         # uses (srgan_train.py:1460-1464)
         sampled = sample_grid_bicubic(
-            pred, tx, ty, xmin, ymax, resolution
+            predict(g_params), tx, ty, xmin, ymax, resolution
         )
         return rmse(sampled, tz)
 
     def evaluate_host(g_params) -> float:
         return float(evaluate(g_params))
 
+    # the predicted test grid itself — objective() renders and logs it per
+    # epoch when a tracker is wired (the reference uploads a predicted
+    # test-area image to Comet every epoch, srgan_train.py:1640-1654)
+    evaluate_host.predict = lambda g_params: np.asarray(predict(g_params))
+    evaluate_host.bounds = bounds
+    evaluate_host.resolution = resolution
     return evaluate_host

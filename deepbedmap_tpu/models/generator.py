@@ -182,7 +182,9 @@ class Generator(nn.Module):
                 name="final_conv_layer2",
             )()
             return fused_deform_tail(
-                a4.astype(jnp.float32), *p1, *p2, clamp=cfg.deform_clamp
+                a4, *p1, *p2, clamp=cfg.deform_clamp,
+                pack_taps=cfg.tail_pack_taps,
+                compute_dtype=cfg.compute_dtype,
             )
         a5 = leaky_relu(
             DeformableConv(

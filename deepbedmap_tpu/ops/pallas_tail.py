@@ -32,8 +32,8 @@ Geometry: output tile 112 lanes (vs the standalone kernels' 120) with an
 valid output (the second sampler's reach is padding + clamp + 1 = 4) and
 its own sampling reach needs E+4 more lanes of x. The redundant compute
 this buys (~+10% lanes, ~+12% rows at bh=64) is what the removed
-marshalling is traded against — measured, not assumed (benchmarks/
-bench_ablate.py --fused-tail).
+marshalling is traded against — measured, not assumed (the in-model
+ablation: ``ONLY=full,tail_fused python benchmarks/bench_ablate.py``).
 
 Numerics: identical decomposition to the unfused pallas path; parity vs
 the pure-XLA reference composition is pinned in tests/test_pallas_tail.py.
@@ -99,50 +99,75 @@ def _tile(x_hcw, starts, bh, rh, h, w, hp, wp):
     return jax.vmap(grab)(starts)
 
 
-def _conv_hcw(x, kernel, bias, padding: str, in_nhwc: bool = False):
-    """3x3 conv emitting channels-before-width (N, H, C, W) natively."""
+def _conv_hcw(x, kernel, bias, padding: str, in_nhwc: bool = False, cdt=None):
+    """3x3 conv emitting channels-before-width (N, H, C, W) natively.
+
+    ``cdt``: compute dtype for the conv (inputs/kernel/bias cast in, result
+    cast back to fp32) — mirrors flax ``nn.Conv(dtype=...)`` so the fused
+    tail's offset convs match the unfused ``DeformableConv`` precision under
+    ``compute_dtype='bfloat16'``."""
+    cdt = jnp.float32 if cdt is None else cdt
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kernel.shape, ("NHWC" if in_nhwc else "NHCW", "HWIO", "NHCW")
     )
     out = jax.lax.conv_general_dilated(
-        x, kernel, (1, 1), padding, dimension_numbers=dn
-    )
-    return out + bias[None, None, :, None]
+        x.astype(cdt), kernel.astype(cdt), (1, 1), padding,
+        dimension_numbers=dn,
+    ) + bias.astype(cdt)[None, None, :, None]
+    return out.astype(jnp.float32)
 
 
-def _tail_reference(x, o1k, o1b, w1, b1, o2k, o2b, w2, b2, padding, clamp):
+def _tail_reference(
+    x, o1k, o1b, w1, b1, o2k, o2b, w2, b2, padding, clamp, compute_dtype=None
+):
     """Unfused pure-XLA composition (offset conv -> shifts sampler -> lrelu
     -> offset conv -> zproj sampler). The numerical oracle for the fused
     kernel AND the backward path of its custom VJP (training tiles are
-    small, so the XLA path's cost is irrelevant there)."""
-    dn = jax.lax.conv_dimension_numbers(
-        x.shape, o1k.shape, ("NHWC", "HWIO", "NHWC")
+    small, so the XLA path's cost is irrelevant there). ``compute_dtype``
+    runs the two offset convs at that precision — exactly what the unfused
+    ``models.blocks.DeformableConv`` does via ``nn.Conv(dtype=...)`` — while
+    samplers and kernel matmuls stay fp32 in both paths."""
+    cdt = jnp.float32 if compute_dtype in (None, "float32") else jnp.dtype(
+        compute_dtype
     )
-    off1 = (
-        jax.lax.conv_general_dilated(x, o1k, (1, 1), "SAME", dimension_numbers=dn)
-        + o1b
-    )
+
+    def off_conv(a, kk, bb):
+        dn = jax.lax.conv_dimension_numbers(
+            a.shape, kk.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        out = jax.lax.conv_general_dilated(
+            a.astype(cdt), kk.astype(cdt), (1, 1), "SAME",
+            dimension_numbers=dn,
+        ) + bb.astype(cdt)
+        return out.astype(jnp.float32)
+
+    off1 = off_conv(x, o1k, o1b)
+    x = x.astype(jnp.float32)
     a5 = _deform_conv_shifts(x, off1, w1, b1, padding, clamp)
     a5 = jnp.where(a5 >= 0, a5, 0.2 * a5)
-    off2 = (
-        jax.lax.conv_general_dilated(a5, o2k, (1, 1), "SAME", dimension_numbers=dn)
-        + o2b
-    )
+    off2 = off_conv(a5, o2k, o2b)
     return _deform_conv_shifts_zproj(a5, off2, w2, b2, padding, clamp)
 
 
 def _fused_tail_pallas(
-    x, o1k, o1b, w1, b1, o2k, o2b, w2, b2, padding, clamp, block_rows, interpret
+    x, o1k, o1b, w1, b1, o2k, o2b, w2, b2, padding, clamp, block_rows,
+    interpret, pack_taps=False, compute_dtype=None,
 ):
     n, h, w, c = x.shape
     k = 9
     bh = block_rows
     c_out = w1.shape[3]
+    cdt = jnp.float32 if compute_dtype in (None, "float32") else jnp.dtype(
+        compute_dtype
+    )
     hp, wp, gy, gx, num_tiles, starts = _plan(n, h, w, bh)
 
-    # first offset conv in image space (bit-equal to the unfused layer),
-    # emitted channels-before-width so tiling is pad + gather
-    off1 = _conv_hcw(x, o1k, o1b, "SAME", in_nhwc=True)  # (N, H, 2K, W)
+    # first offset conv in image space (bit-equal to the unfused layer,
+    # including its compute dtype), emitted channels-before-width so tiling
+    # is pad + gather; samplers and kernel matmuls run fp32 like the
+    # unfused DeformableConv
+    off1 = _conv_hcw(x, o1k, o1b, "SAME", in_nhwc=True, cdt=cdt)  # (N,H,2K,W)
+    x = x.astype(jnp.float32)
 
     x_hcw = jnp.swapaxes(x, 2, 3)
     x_t = _tile(x_hcw, starts, bh, _RH, h, w, hp, wp)
@@ -166,6 +191,7 @@ def _fused_tail_pallas(
         lane_base=0,
         mask_lanes=False,
         apply_lrelu=True,
+        pack_taps=pack_taps,
     )
     a5_t = pl.pallas_call(
         kernel_a,
@@ -213,7 +239,7 @@ def _fused_tail_pallas(
 
     # second offset conv directly on the tile batch: VALID on halo'd tiles
     # == image-space SAME, bit-exactly; pad 1 row/lane back to the frame
-    off2_t = _conv_hcw(a5_t, o2k, o2b, "VALID")
+    off2_t = _conv_hcw(a5_t, o2k, o2b, "VALID", cdt=cdt)
     off2_t = jnp.pad(off2_t, ((0, 0), (1, 1), (0, 0), (1, 1)))[:, :, :, None, :]
 
     # zproj tap projections on the tile batch + static tap column shifts as
@@ -283,10 +309,10 @@ def _fused_tail_pallas(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_path(cfg, x, o1k, o1b, w1, b1, o2k, o2b, w2, b2):
-    padding, clamp, block_rows, interpret = cfg
+    padding, clamp, block_rows, interpret, pack_taps, compute_dtype = cfg
     return _fused_tail_pallas(
         x, o1k, o1b, w1, b1, o2k, o2b, w2, b2, padding, clamp, block_rows,
-        interpret,
+        interpret, pack_taps, compute_dtype,
     )
 
 
@@ -295,9 +321,11 @@ def _fused_fwd(cfg, *args):
 
 
 def _fused_bwd(cfg, residuals, g):
-    padding, clamp, _, _ = cfg
+    padding, clamp = cfg[0], cfg[1]
+    compute_dtype = cfg[5]
     _, vjp = jax.vjp(
-        lambda *a: _tail_reference(*a, padding, clamp), *residuals
+        lambda *a: _tail_reference(*a, padding, clamp, compute_dtype),
+        *residuals,
     )
     return vjp(g)
 
@@ -320,12 +348,19 @@ def fused_deform_tail(
     block_rows: int = 64,
     method: str = "auto",
     interpret: Optional[bool] = None,
+    pack_taps: bool = False,
+    compute_dtype: Optional[str] = None,
 ) -> jax.Array:
     """Both generator deform output layers fused in one tiled domain (module
     docstring). ``method='auto'`` uses the fused pallas path on TPU at
     inference-scale images and the pure-XLA reference composition otherwise
     (small training tiles, CPU); differentiable everywhere (custom VJP
-    through the reference composition)."""
+    through the reference composition). ``pack_taps`` selects the v4
+    tap-packed deform64 body (one slab + lane-concatenated dot per kernel
+    row — see ops.pallas_kernels._deform_stacked_kernel). ``compute_dtype``
+    ('bfloat16') runs the two offset convs at that precision, matching the
+    unfused ``DeformableConv(dtype=...)``; samplers/kernel matmuls stay
+    fp32 in every path."""
     assert padding + clamp + 1 + _E <= _LH, "fused-frame halo too small"
     assert block_rows % 8 == 0, "zproj1 body processes 8 rows per VPU op"
     assert w2.shape[3] == 1, "fused tail requires a single output channel"
@@ -335,11 +370,14 @@ def fused_deform_tail(
         method = "pallas" if (on_tpu and large) else "reference"
     if method == "reference":
         return _tail_reference(
-            x, o1k, o1b, w1, b1, o2k, o2b, w2, b2, padding, clamp
+            x, o1k, o1b, w1, b1, o2k, o2b, w2, b2, padding, clamp,
+            compute_dtype,
         )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if compute_dtype == "float32":
+        compute_dtype = None
     return _fused_path(
-        (padding, clamp, block_rows, interpret),
+        (padding, clamp, block_rows, interpret, pack_taps, compute_dtype),
         x, o1k, o1b, w1, b1, o2k, o2b, w2, b2,
     )

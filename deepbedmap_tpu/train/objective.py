@@ -60,6 +60,7 @@ def objective(
     suggest=suggest_reference_space,
     tracker=None,  # utils.tracking.Tracker
     rmse_upload_threshold: float = 500.0,
+    make_evaluator: Optional[Callable] = None,
 ) -> float:
     """Train one trial; returns the best test RMSE (minimised).
 
@@ -67,6 +68,12 @@ def objective(
     (reference get_deepbedmap_test_result); when None, the dev-set generator
     loss stands in so the objective works on synthetic data. NOTE the
     stand-in is a loss, not metres — wire a real evaluator for true RMSE.
+
+    ``make_evaluator(g_model) -> evaluate_rmse`` builds the evaluator from
+    the TRIAL's generator (hyperparameters like residual_scaling change the
+    forward pass, so a fixed-test-area evaluator must be constructed per
+    trial — e.g. ``lambda m: evalx.make_fixed_evaluator(m, ...)``). Takes
+    precedence over ``evaluate_rmse``.
 
     ``tracker`` closes the reference's Comet loop (srgan_train.py:1575-1688):
     hyperparameters logged up front, the full metric record per epoch, the
@@ -90,6 +97,8 @@ def objective(
     g_model = Generator(g_cfg)
     d_model = Discriminator(DiscriminatorConfig())
     state = create_gan_state(g_cfg, t_cfg=t_cfg)
+    if make_evaluator is not None:
+        evaluate_rmse = make_evaluator(g_model)
 
     if tracker is not None:
         # the reference's logged parameter dict (srgan_train.py:1575-1590)
@@ -178,6 +187,13 @@ def _run_epochs(
             log(epoch, record)
         if tracker is not None:
             tracker.log_metrics(record, step=epoch)
+            # the reference uploads the predicted test-area image to Comet
+            # every epoch — the main qualitative training-progress signal
+            # (srgan_train.py:1640-1654); our evaluator exposes the grid
+            if evaluate_rmse is not None and hasattr(evaluate_rmse, "predict"):
+                _log_predicted_image(
+                    tracker, evaluate_rmse, state.g_params, epoch, rmse_test
+                )
 
         # divergence detection (srgan_train.py:1698-1706)
         if (
@@ -220,6 +236,33 @@ def _run_epochs(
                 raise TrialPruned()
 
     return best_rmse
+
+
+def _log_predicted_image(tracker, evaluate_rmse, g_params, epoch, rmse_test):
+    """Render the fixed-test-area prediction and attach it to the experiment
+    (reference: one predicted image per epoch, srgan_train.py:1640-1654)."""
+    import tempfile
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    grid = evaluate_rmse.predict(g_params)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    extent = None
+    if hasattr(evaluate_rmse, "bounds"):
+        xmin, ymin, xmax, ymax = evaluate_rmse.bounds
+        extent = (xmin, xmax, ymin, ymax)
+    im = ax.imshow(grid, cmap="BrBG", origin="upper", extent=extent)
+    fig.colorbar(im, ax=ax, label="bed elevation (m)")
+    ax.set_title(f"predicted test area — epoch {epoch}, RMSE {rmse_test:.2f} m")
+    fig.tight_layout()
+    with tempfile.TemporaryDirectory(prefix="dbm_img_") as d:
+        path = os.path.join(d, f"epoch_{epoch:03d}_predicted_test_image.png")
+        fig.savefig(path, dpi=90)
+        tracker.log_asset(path)
+    plt.close(fig)
 
 
 def _finish_trial(

@@ -1,0 +1,102 @@
+"""Analytic FLOP accounting for the generator forward pass.
+
+MFU needs a FLOP count that does NOT come from the compiler: the trunk and
+the deformable samplers run as Pallas kernels, which XLA's cost analysis
+cannot see into, and the fused paths do redundant halo compute that must
+NOT be credited as useful work. So the count here is analytic and *minimal*:
+the mathematically required multiply-accumulates of the reference
+computation (srgan_train.py:421-576) at the given input size, independent
+of how any backend schedules it.
+
+Conventions (stated so the number is auditable):
+- FLOPs = 2 x MACs (one multiply + one add); bias adds, LeakyReLU and
+  nearest-neighbour upsampling are O(pixels) and excluded (<0.1%).
+- Deformable sampling is counted as 4 MACs per tap/channel/pixel (the
+  bilinear blend of 4 source pixels) plus the ordinary 3x3 kernel
+  contraction; offset convs are counted as the convs they are.
+- Halo/padding redundancy of any tiled implementation is NOT counted —
+  MFU measures useful work per second vs peak.
+
+Peak: one v5e chip is 197 TFLOP/s in bf16 (394 int8). JAX's default conv/
+matmul precision on TPU feeds the MXU bf16 inputs with fp32 accumulation
+(one pass), and the repo's Pallas kernels issue fp32 dots, so 197e12 is the
+honest (upper-bound) denominator for both the fp32 and bf16 configurations;
+a kernel doing true multi-pass fp32 MXU work can therefore never reach
+MFU 1.0 — that headroom is real, not an accounting artifact.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from deepbedmap_tpu.config import GeneratorConfig
+
+V5E_BF16_PEAK_FLOPS = 197e12  # per chip (TPU v5e datasheet / scaling book)
+
+
+def generator_tile_flops(
+    cfg: Optional[GeneratorConfig] = None, lr: int = 288
+) -> Dict[str, float]:
+    """Minimal FLOPs of one generator forward on an ``lr`` x ``lr`` low-res
+    tile (continent tiles: lr=288 incl. halo -> 1144 px raw output,
+    deepbedmap.py:691-736). Returns a per-stage breakdown plus 'total'."""
+    cfg = cfg or GeneratorConfig()
+    ib = cfg.inblock_channels
+    cc = cfg.concat_channels
+    bc = cfg.base_channels
+    g = cfg.growth_channels
+    lat = lr - 2  # valid input block shaves one lr px per side
+    up1 = 2 * lat
+    up2 = 4 * lat
+    k = 9  # 3x3 taps
+
+    def conv(px_side: int, taps: int, c_in: int, c_out: int) -> float:
+        return float(px_side) ** 2 * taps * c_in * c_out
+
+    stages: Dict[str, float] = {}
+    # input block: 4 valid-conv branches to a common (lat, lat) grid
+    # (srgan_train.py:201-266 — X k3s1, W1 k30s10, W2 k6s2, W3 k3s1)
+    stages["input_block"] = (
+        conv(lat, 9, 1, ib)
+        + conv(lat, 900, 1, ib)
+        + conv(lat, 36, 2, ib)
+        + conv(lat, 9, 1, ib)
+    )
+    stages["pre_residual"] = conv(lat, k, cc, bc)
+    # one RDB: 5 dense convs 64->32, 96->32, 128->32, 160->32, 192->64
+    rdb = sum(
+        conv(lat, k, bc + i * g, g if i < 4 else bc) for i in range(5)
+    )
+    stages["trunk"] = cfg.num_residual_blocks * 3 * rdb
+    stages["post_residual"] = conv(lat, k, bc, bc)
+    stages["upsample_convs"] = conv(up1, k, bc, bc) + conv(up2, k, bc, bc)
+    # deform layer 1: offset conv (64->18) + bilinear sampling (4 MACs per
+    # tap/channel/px) + 3x3 kernel contraction (64->64)
+    stages["deform64"] = (
+        conv(up2, k, bc, 18) + float(up2) ** 2 * k * bc * 4 + conv(up2, k, bc, bc)
+    )
+    stages["deform1"] = (
+        conv(up2, k, bc, 18)
+        + float(up2) ** 2 * k * bc * 4
+        + conv(up2, k, bc, cfg.out_channels)
+    )
+    total_macs = sum(stages.values())
+    out = {name: 2.0 * macs for name, macs in stages.items()}
+    out["total"] = 2.0 * total_macs
+    return out
+
+
+def generator_mfu(
+    seconds_per_tile: float,
+    cfg: Optional[GeneratorConfig] = None,
+    lr: int = 288,
+    peak_flops: float = V5E_BF16_PEAK_FLOPS,
+) -> Dict[str, float]:
+    """Achieved TFLOP/s and model FLOPs utilisation for one tile forward."""
+    flops = generator_tile_flops(cfg, lr)["total"]
+    achieved = flops / max(seconds_per_tile, 1e-12)
+    return {
+        "tile_tflops": flops / 1e12,
+        "achieved_tflops": achieved / 1e12,
+        "mfu": achieved / peak_flops,
+    }

@@ -31,6 +31,7 @@ def _params(key, c, scale=0.2):
     ]
 
 
+@pytest.mark.parametrize("pack_taps", [False, True])
 @pytest.mark.parametrize(
     "n,h,w,c,bh,clamp",
     [
@@ -39,17 +40,40 @@ def _params(key, c, scale=0.2):
         (1, 20, 130, 16, 8, 1),   # clamp=1, ragged rows and width
     ],
 )
-def test_fused_tail_matches_reference(n, h, w, c, bh, clamp):
+def test_fused_tail_matches_reference(n, h, w, c, bh, clamp, pack_taps):
     key = jax.random.PRNGKey(42)
     x = jax.random.normal(jax.random.PRNGKey(1), (n, h, w, c), jnp.float32)
     p = _params(key, c)
 
     ref = _tail_reference(x, *p, 1, clamp)
     fused = fused_deform_tail(
-        x, *p, clamp=clamp, block_rows=bh, method="pallas", interpret=True
+        x, *p, clamp=clamp, block_rows=bh, method="pallas", interpret=True,
+        pack_taps=pack_taps,
     )
     assert fused.shape == (n, h, w, 1)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=3e-4)
+
+
+def test_fused_tail_bf16_offset_convs_match_reference():
+    # under compute_dtype='bfloat16' BOTH paths run their offset convs in
+    # bf16 (the unfused DeformableConv uses nn.Conv(dtype=...)); parity must
+    # hold at bf16 tolerances, and the bf16 result must genuinely differ
+    # from fp32 (proving the dtype plumbing reaches the convs)
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 24, 140, 8), jnp.float32)
+    p = _params(jax.random.PRNGKey(8), 8)
+    ref16 = _tail_reference(x, *p, 1, 2, "bfloat16")
+    fused16 = fused_deform_tail(
+        x, *p, block_rows=8, method="pallas",
+        interpret=True, compute_dtype="bfloat16",
+    )
+    assert fused16.dtype == jnp.float32
+    # same x to both paths; the only divergence is fp32-kernel round-off on
+    # top of the (shared) bf16 offset fields (measured 2e-3 at this scale)
+    np.testing.assert_allclose(
+        np.asarray(fused16), np.asarray(ref16), atol=5e-3, rtol=1e-2
+    )
+    ref32 = _tail_reference(x, *p, 1, 2)
+    assert np.abs(np.asarray(ref16) - np.asarray(ref32)).max() > 1e-5
 
 
 def test_fused_tail_large_offsets_clamped_identically():
@@ -112,4 +136,27 @@ def test_generator_tail_fused_param_tree_and_output_parity():
 
     y_a = Generator(cfg).apply(p_a, x, w1, w2, w3)
     y_b = Generator(cfg_f).apply(p_b, x, w1, w2, w3)
+    np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_a), atol=1e-4)
+
+
+def test_generator_tail_fused_bf16_parity():
+    # fused vs unfused under compute_dtype='bfloat16': both run offset convs
+    # at bf16, so the ablation pair stays apples-to-apples (ADVICE r3)
+    from deepbedmap_tpu.models.generator import Generator
+
+    cfg = GeneratorConfig(num_residual_blocks=1, compute_dtype="bfloat16")
+    cfg_f = GeneratorConfig(
+        num_residual_blocks=1, compute_dtype="bfloat16", tail_fused=True
+    )
+    n, s = 1, 12
+    xs = (
+        jnp.ones((n, s, s, 1)) * 0.1,
+        jnp.ones((n, 10 * s, 10 * s, 1)) * 0.2,
+        jnp.ones((n, 2 * s, 2 * s, 2)) * 0.3,
+        jnp.ones((n, s, s, 1)) * 0.4,
+    )
+    key = jax.random.PRNGKey(0)
+    p_a = Generator(cfg).init(key, *xs)
+    y_a = Generator(cfg).apply(p_a, *xs)
+    y_b = Generator(cfg_f).apply(p_a, *xs)
     np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_a), atol=1e-4)
