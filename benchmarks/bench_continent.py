@@ -127,8 +127,6 @@ def main():
         "/tmp/deepbedmap_dem_bench",
     )
     t_write = time.perf_counter() - t0
-    import os
-
     size_mb = os.path.getsize("/tmp/deepbedmap_dem_bench.tif") / 1e6
     print(
         json.dumps(

@@ -41,12 +41,35 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+if os.environ.get("CPU") == "1":  # harness smoke test (JAX_PLATFORMS is ignored)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
-TOTAL_EPOCHS = 140
-OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "model", "logs", "quality_run")
+TOTAL_EPOCHS = int(os.environ.get("EPOCHS", "140"))
+# Variants (VERDICT r3 items 3/5):
+#   TASK=deterministic (default) — Y exactly learnable from X; validates
+#     trainer mechanics + RMSE floor. TASK=rough — Y carries spatially
+#     correlated stochastic roughness X cannot predict (the paper's actual
+#     premise); per-epoch roughness columns are recorded.
+#   RECIPE=reference (default, LossConfig() incl. the reference's detached
+#     no-op adversarial term) | healthy (LossConfig.recommended(): live
+#     adversarial 0.5 + 100 m instance noise — gan_health Findings 3-4).
+#   DTYPE=float32 (default) | bfloat16 (conv compute dtype; precision
+#     policy measurement, config.py).
+TASK = os.environ.get("TASK", "deterministic")
+RECIPE = os.environ.get("RECIPE", "reference")
+DTYPE = os.environ.get("DTYPE", "float32")
+_suffix = "" if (TASK, RECIPE, DTYPE) == (
+    "deterministic", "reference", "float32") else (
+    f"_{TASK}_{RECIPE}" + ("_bf16" if DTYPE == "bfloat16" else "")
+)
+OUT_DIR = os.path.join(
+    os.path.dirname(__file__), "..", "model", "logs", f"quality_run{_suffix}"
+)
 RES = 250.0
+N_TILES = int(os.environ.get("TILES", "3826"))  # override small for smoke tests
 
 
 def build_synthetic_sr_dataset(n: int, seed: int = 0):
@@ -76,6 +99,7 @@ def main():
     from deepbedmap_tpu.config import (
         DiscriminatorConfig,
         GeneratorConfig,
+        LossConfig,
         TrainConfig,
     )
     from deepbedmap_tpu.data.dataset import epoch_batches, train_dev_split
@@ -92,11 +116,25 @@ def main():
     ckpt_path = os.path.abspath(os.path.join(OUT_DIR, "checkpoint"))
     meta_path = os.path.join(OUT_DIR, "progress.json")
 
-    g_cfg = GeneratorConfig()  # flagship 12-RRDB, residual_scaling 0.1
-    t_cfg = TrainConfig(batch_size=128, learning_rate=1.6e-4)
+    # flagship 12-RRDB, residual_scaling 0.1 (+ the variant knobs above;
+    # RRDB/BATCH are only for CPU smoke tests of the harness itself)
+    g_cfg = GeneratorConfig(
+        num_residual_blocks=int(os.environ.get("RRDB", "12")),
+        compute_dtype=DTYPE,
+    )
+    t_cfg = TrainConfig(
+        batch_size=int(os.environ.get("BATCH", "128")), learning_rate=1.6e-4
+    )
+    loss_cfg = LossConfig.recommended() if RECIPE == "healthy" else LossConfig()
     g_model, d_model = Generator(g_cfg), Discriminator(DiscriminatorConfig())
 
-    dataset, arrays = build_synthetic_sr_dataset(3826, seed=0)
+    if TASK == "rough":
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from train_gan_health import build_roughness_sr_dataset
+
+        dataset, arrays = build_roughness_sr_dataset(N_TILES, seed=0)
+    else:
+        dataset, arrays = build_synthetic_sr_dataset(N_TILES, seed=0)
     train_idx, dev_idx = train_dev_split(len(dataset))
 
     # fixed test region: one held-out dev tile as the 'Pine Island' stand-in,
@@ -121,8 +159,38 @@ def main():
         g_model, inputs_nchw, (tx, ty, tz), bounds, resolution=RES
     )
 
-    train_fn, eval_fn = make_epoch_fns(g_model, d_model, dataset, t_cfg)
-    tracker = LocalTracker(OUT_DIR, experiment_key="quality-run")
+    train_fn, eval_fn = make_epoch_fns(
+        g_model, d_model, dataset, t_cfg, loss_cfg=loss_cfg
+    )
+    tracker = LocalTracker(OUT_DIR, experiment_key=f"quality-run{_suffix}")
+
+    # roughness probe (rough task): median 5x5 rolling-std of the DETRENDED
+    # generated/real dev tiles — the paper's roughness statistic
+    # (viz/analysis.py); rough_gen -> rough_real is what a live adversarial
+    # term buys (gan_health summary.md Findings 3-4)
+    roughness_probe = None
+    if TASK == "rough":
+        from deepbedmap_tpu.viz.analysis import standard_deviation_2d
+
+        probe_n = 128
+
+        @jax.jit
+        def roughness_probe(g_params, probe):
+            pred = g_model.apply(
+                {"params": g_params}, probe["X"], probe["W1"], probe["W2"],
+                probe["W3"],
+            )
+            smooth = jax.vmap(
+                lambda x: jax.image.resize(x[1:-1, 1:-1, 0], (36, 36), "linear")
+            )(probe["X"])
+            med = lambda a: jnp.nanmedian(  # noqa: E731
+                jax.vmap(standard_deviation_2d)(a)
+            )
+            return (
+                med(pred[..., 0] - smooth), med(probe["Y"][..., 0] - smooth)
+            )
+
+        probe_batch = dataset.take(jnp.asarray(dev_idx[:probe_n]))
 
     state = create_gan_state(g_cfg, t_cfg=t_cfg)
     steps_per_epoch = len(train_idx) // t_cfg.batch_size
@@ -186,10 +254,17 @@ def main():
             "rmse_test": rmse_test,
             "epoch_seconds": dt,
         }
+        if roughness_probe is not None:
+            rg, rr = roughness_probe(state.g_params, probe_batch)
+            record["rough_gen"], record["rough_real"] = float(rg), float(rr)
         tracker.log_metrics(record, step=epoch)
         print(
             f"epoch {epoch:3d}: g_loss {record['generator_loss']:8.4f} "
-            f"rmse_test {rmse_test:8.3f} m  ({dt:.1f}s)",
+            f"rmse_test {rmse_test:8.3f} m  ({dt:.1f}s)"
+            + (
+                f"  rough {record['rough_gen']:.1f}/{record['rough_real']:.1f}"
+                if "rough_gen" in record else ""
+            ),
             flush=True,
         )
         best = min(best, rmse_test)
@@ -221,28 +296,48 @@ def main():
     steps = [m["step"] for m in hist]
     rmses = [m["metrics"]["rmse_test"] for m in hist]
     fig, ax = plt.subplots(figsize=(9, 5))
-    ax.plot(steps, rmses, lw=1.2)
+    ax.plot(steps, rmses, lw=1.2, label="test RMSE")
     ax.set_xlabel("Epoch")
     ax.set_ylabel("Fixed-region test RMSE (m)")
     ax.set_yscale("log")
+    if "rough_gen" in hist[-1]["metrics"]:
+        ax2 = ax.twinx()
+        ax2.plot(
+            steps, [m["metrics"]["rough_gen"] for m in hist],
+            lw=1.0, color="C2", label="rough_gen",
+        )
+        ax2.axhline(
+            hist[-1]["metrics"]["rough_real"], color="C3", ls="--", lw=0.8,
+            label="rough_real",
+        )
+        ax2.set_ylabel("median 5x5 rolling-std of detrended tiles (m)")
+        ax2.legend(loc="upper right")
     ax.set_title(
-        "Reference-scale quality run: 3826 tiles, batch 128, 12 RRDB, 140 epochs"
+        f"Reference-scale quality run ({TASK}/{RECIPE}/{DTYPE}): "
+        f"3826 tiles, batch 128, 12 RRDB, {TOTAL_EPOCHS} epochs"
     )
     fig.tight_layout()
     fig.savefig(os.path.join(OUT_DIR, "rmse_curve.png"), dpi=120)
 
-    print(
-        json.dumps(
-            {
-                "metric": "quality_run_140_epochs",
-                "first_rmse_m": round(rmses[0], 3),
-                "best_rmse_m": round(min(rmses), 3),
-                "final_rmse_m": round(rmses[-1], 3),
-                "median_epoch_s": round(float(np.median(
-                    [m["metrics"]["epoch_seconds"] for m in hist[1:]])), 2),
-            }
+    summary = {
+        "metric": f"quality_run{_suffix}_{TOTAL_EPOCHS}_epochs",
+        "task": TASK,
+        "recipe": RECIPE,
+        "compute_dtype": DTYPE,
+        "first_rmse_m": round(rmses[0], 3),
+        "best_rmse_m": round(min(rmses), 3),
+        "final_rmse_m": round(rmses[-1], 3),
+        "median_epoch_s": round(float(np.median(
+            [m["metrics"]["epoch_seconds"] for m in hist[1:]])), 2),
+    }
+    if "rough_gen" in hist[-1]["metrics"]:
+        summary["final_rough_gen_m"] = round(
+            hist[-1]["metrics"]["rough_gen"], 2
         )
-    )
+        summary["final_rough_real_m"] = round(
+            hist[-1]["metrics"]["rough_real"], 2
+        )
+    print(json.dumps(summary))
     print("DONE", flush=True)
 
 

@@ -1163,6 +1163,25 @@ class GeoTiffStripWriter:
             self._f.write(chunk)
         return ifd_off, next_pos
 
+    def abort(self, unlink: bool = True) -> None:
+        """Tear down a failed write: close the handle and (by default) remove
+        the partial file. A partial streamed TIFF is never readable — its
+        header's first-IFD pointer is only patched in ``close()`` — but
+        leaving a .tif on disk after a crash is a corrupt-but-plausible
+        product waiting to be shipped, so failure paths must call this
+        instead of reaching into the handle. Idempotent; safe after
+        ``close()`` (then it never unlinks a finalized product)."""
+        import os
+
+        finalized = self._f.closed
+        if not finalized:
+            self._f.close()
+            if unlink:
+                try:
+                    os.unlink(self.path)
+                except FileNotFoundError:
+                    pass
+
     def __enter__(self):
         return self
 
@@ -1170,4 +1189,4 @@ class GeoTiffStripWriter:
         if exc_type is None:
             self.close()
         else:
-            self._f.close()
+            self.abort()

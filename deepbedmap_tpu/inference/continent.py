@@ -453,7 +453,8 @@ def predict_continent_to_geotiff(
     except BaseException:
         strips.put(None)
         t.join()
-        writer._f.close()  # leave no dangling handle on failure
+        # no dangling handle AND no corrupt-but-plausible partial product
+        writer.abort()
         raise
     return f"{outfilepath}.tif"
 

@@ -770,7 +770,11 @@ def _deform_zproj1_kernel(
                         wy[:, g * kw : (g + 1) * kw]
                         * wxs[xi][:, g * kw : (g + 1) * kw]
                     )
-                    rolled = jnp.roll(slab, -(lane_base + xi - clamp), axis=2)
+                    # static zero shift must bypass the roll: Mosaic lowers
+                    # roll as slice+concat and rejects the zero-size slice
+                    # (hit by the fused tail's lane_base=0 frame at xi=clamp)
+                    sh = lane_base + xi - clamp
+                    rolled = slab if sh == 0 else jnp.roll(slab, -sh, axis=2)
                     acc = acc + w * rolled
                 total = total + acc.sum(axis=1)
 

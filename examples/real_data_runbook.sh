@@ -43,12 +43,50 @@ python -m deepbedmap_tpu build \
   --accumulation "$DATA/misc/Arthern_accumulation_bedmap2_grid1.nc" \
   -o "$WORK/arrays"
 
-# --- 3. train (the paper's 140-epoch optimum), or run the HPO study --------
+# --- 3. train (the paper's 140-epoch optimum) -------------------------------
 # (Ref: srgan_train.py:1479-1757; ~10 min on one v5e chip at reference scale)
 python -m deepbedmap_tpu train --tiles "$WORK/arrays" \
   --epochs 140 --batch-size 128 --learning-rate 1.7e-4 \
   --out "$WORK/model/ckpt"
-# python -m deepbedmap_tpu hpo --trials 30 --storage sqlite:///"$WORK/hpo.db"
+
+# --- 3b. OR the reference's actual workflow: HPO over the real dataset with
+# the real Pine-Island RMSE objective + top-10 trials report ----------------
+# (Ref: srgan_train.py:1393-1466 get_fixed_test_inputs — test area = the
+# gridded 20xx_Antarctica_DC8_THW bounds, conditioning stack via the
+# groundtruth fetcher with the 1 km padding contract, track = the survey's
+# own xyz points — and srgan_train.py:1725-1757, the study + top-10 table.)
+python - << 'PY'
+import numpy as np, os, pandas as pd
+from deepbedmap_tpu.data.groundtruth import get_model_inputs
+from deepbedmap_tpu.data.pipeline import ascii_to_xyz, survey_config_path
+from deepbedmap_tpu.data.raster import read_netcdf
+DATA, WORK = os.environ.get("DATA", "data"), os.environ.get("WORK", "runbook_work")
+test = read_netcdf(f"{WORK}/surveys_nc/20xx_Antarctica_DC8_THW.nc")
+bounds = test.bounds  # (xmin, ymin, xmax, ymax) of the Pine Island grid
+inputs = get_model_inputs(
+    bounds,
+    read_netcdf(f"{DATA}/lowres/bedmap2_bed.nc"),
+    read_netcdf(f"{DATA}/misc/REMA_100m_dem_filled.nc"),
+    read_netcdf(f"{DATA}/misc/antarctic_ice_vel_phase_map_v01_VX.nc"),
+    read_netcdf(f"{DATA}/misc/antarctic_ice_vel_phase_map_v01_VY.nc"),
+    read_netcdf(f"{DATA}/misc/Arthern_accumulation_bedmap2_grid1.nc"),
+    padding=1000.0,  # the training-contract padding (data_prep.py:761-911)
+)
+os.makedirs(f"{WORK}/eval_inputs", exist_ok=True)
+for k, v in inputs.items():
+    np.save(f"{WORK}/eval_inputs/{k}.npy", v)
+ascii_to_xyz(
+    survey_config_path("20xx_Antarctica_DC8_THW"), data_dir=f"{DATA}/highres"
+).to_csv(f"{WORK}/eval_track.csv", index=False)
+print("eval bounds:", ",".join(str(b) for b in bounds))
+with open(f"{WORK}/eval_bounds.txt", "w") as f:
+    f.write(",".join(str(b) for b in bounds))
+PY
+python -m deepbedmap_tpu hpo --trials 30 --tiles "$WORK/arrays" \
+  --eval-inputs "$WORK/eval_inputs" --eval-track "$WORK/eval_track.csv" \
+  --eval-bounds "$(cat "$WORK/eval_bounds.txt")" \
+  --checkpoint-dir "$WORK/model/trials" \
+  --storage sqlite:///"$WORK/hpo.db" --report "$WORK/hpo_top10.json"
 
 # --- 4. whole-Antarctica DEM product ---------------------------------------
 # (band-streamed, mesh-sharded when multiple chips are present, GeoTIFF

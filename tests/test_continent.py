@@ -170,6 +170,51 @@ def test_streamed_product_surfaces_writer_error(tmp_path, forward, monkeypatch):
             str(tmp_path / "dem"), clip_conditioning=False, prefetch=2,
         )
     assert threading.active_count() == n0  # drain thread joined
+    # failure must not leave a corrupt-but-plausible partial product
+    assert not (tmp_path / "dem.tif").exists()
+
+
+def test_streamed_product_forward_failure_leaves_clean_filesystem(
+    tmp_path, forward
+):
+    """A COMPUTE-path failure mid-stream (bad band input -> the dispatch
+    raises) must abort the writer: no dangling handle, no partial .tif left
+    behind to be mistaken for a finished DEM."""
+    from deepbedmap_tpu.inference.continent import predict_continent_to_geotiff
+
+    plan = TilePlan(out_h=96, out_w=64, tile_out=32, halo_lr=3)
+    inputs = _host_inputs(plan, seed=17)
+    inputs["W1"] = inputs["W1"][:, :11]  # wrong rows: band crop will fail
+    with pytest.raises(Exception):
+        predict_continent_to_geotiff(
+            forward, inputs, plan, (0.0, 0.0, 64 * 250.0, 96 * 250.0),
+            str(tmp_path / "dem2"), clip_conditioning=False,
+        )
+    assert not (tmp_path / "dem2.tif").exists()
+
+
+def test_strip_writer_abort_semantics(tmp_path):
+    """abort() closes + unlinks a partial write, is idempotent, and never
+    deletes a finalized product when called after close()."""
+    path = str(tmp_path / "w.tif")
+    w = geotiff.GeoTiffStripWriter(
+        path, height=16, width=8, left=0.0, top=16 * 250.0, res=250.0,
+        dtype=np.int16, nodata=-2000.0, compress=True,
+    )
+    w.write_strip(np.ones((8, 8), np.int16))
+    w.abort()
+    assert w._f.closed and not (tmp_path / "w.tif").exists()
+    w.abort()  # idempotent
+
+    w2 = geotiff.GeoTiffStripWriter(
+        path, height=8, width=8, left=0.0, top=8 * 250.0, res=250.0,
+        dtype=np.int16, nodata=-2000.0, compress=True,
+    )
+    w2.write_strip(np.ones((8, 8), np.int16))
+    w2.close()
+    w2.abort()  # post-close: must NOT unlink the finished file
+    data, meta = geotiff.read_geotiff(path)
+    np.testing.assert_array_equal(data, np.ones((8, 8), np.int16))
 
 
 def test_strip_writer_roundtrip(tmp_path):

@@ -47,10 +47,29 @@ def test_objective_tracker_roundtrip(tmp_path):
     from deepbedmap_tpu.api import DeepBedMap
     from deepbedmap_tpu.utils.tracking import LocalTracker
 
+    from deepbedmap_tpu.evalx.fixed import make_fixed_evaluator
+
     dataset = TileDataset.synthetic(8, seed=0)
     study = create_study(direction="minimize", sampler_seed=0, pruner="none")
     root = str(tmp_path / "experiments")
     tracker = LocalTracker(root)
+
+    # a wired fixed-test-area evaluator (built per trial from ITS generator):
+    # the objective then logs real metres AND one predicted test-area image
+    # per epoch, like the reference's Comet runs (srgan_train.py:1640-1654)
+    rs = np.random.RandomState(0)
+    inputs_nchw = {
+        "X": rs.rand(1, 1, 11, 11).astype(np.float32),
+        "W1": rs.rand(1, 1, 110, 110).astype(np.float32),
+        "W2": rs.rand(1, 2, 22, 22).astype(np.float32),
+        "W3": rs.rand(1, 1, 11, 11).astype(np.float32),
+    }
+    bounds = (0.0, 0.0, 36 * 250.0, 36 * 250.0)
+    track = (
+        rs.uniform(1000, 8000, 40).astype(np.float32),
+        rs.uniform(1000, 8000, 40).astype(np.float32),
+        rs.randn(40).astype(np.float32),
+    )
 
     value = objective(
         study.ask(),
@@ -59,8 +78,18 @@ def test_objective_tracker_roundtrip(tmp_path):
         tracker=tracker,
         rmse_save_threshold=float("inf"),
         rmse_upload_threshold=float("inf"),
+        make_evaluator=lambda g_model: make_fixed_evaluator(
+            g_model, inputs_nchw, track, bounds
+        ),
     )
     tracker.end()
+
+    # one predicted test-area image per epoch
+    assets = tracker.asset_list()
+    for epoch in (0, 1):
+        assert f"epoch_{epoch:03d}_predicted_test_image.png" in assets
+    rec0 = tracker.metrics()[0]["metrics"]
+    assert rec0["rmse_is_proxy"] is False  # real metres, not the loss proxy
 
     # the experiment carries everything from_experiment needs
     assert tracker.params()["num_residual_blocks"] == 1

@@ -98,6 +98,52 @@ def test_cli_runbook_end_to_end(capsys, tmp_path):
     for k in ("X", "W1", "W2", "W3", "Y"):
         assert os.path.exists(os.path.join(arrays, f"{k}_data.npy"))
 
+    # --- stage 3b: HPO over the built arrays with the REAL fixed-test-area
+    # RMSE objective + top-N report (the reference's actual workflow,
+    # srgan_train.py:1393-1466 + 1725-1757; runbook stage 3b) ---
+    from deepbedmap_tpu.data.groundtruth import get_model_inputs
+    from deepbedmap_tpu.data.raster import read_netcdf
+
+    test_grid = read_netcdf(str(surveys_nc / "2010tr.nc"))
+    eval_bounds = test_grid.bounds
+    eval_inputs = get_model_inputs(
+        eval_bounds,
+        read_netcdf(paths["lowres"]),
+        read_netcdf(paths["surface"]),
+        read_netcdf(paths["velocity_x"]),
+        read_netcdf(paths["velocity_y"]),
+        read_netcdf(paths["accumulation"]),
+        padding=1000.0,  # the training-contract padding
+    )
+    eval_dir = str(tmp_path / "eval_inputs")
+    os.makedirs(eval_dir)
+    for k in ("X", "W1", "W2", "W3"):
+        np.save(os.path.join(eval_dir, f"{k}.npy"), eval_inputs[k])
+    # track = cell-centre samples of the survey grid itself
+    h, w = test_grid.data.shape
+    iy, ix = np.arange(1, h - 1, 3), np.arange(1, w - 1, 3)
+    t_x = eval_bounds[0] + (ix + 0.5) * 250.0
+    t_y = eval_bounds[3] - (iy + 0.5) * 250.0
+    track_csv = str(tmp_path / "eval_track.csv")
+    pd.DataFrame(
+        {"x": np.repeat(t_x, len(iy)), "y": np.tile(t_y, len(t_x)),
+         "z": test_grid.data[np.tile(iy, len(t_x)),
+                             np.repeat(ix, len(iy))]}
+    ).dropna().to_csv(track_csv, index=False)
+    report = str(tmp_path / "hpo_top.json")
+    rc, res = run_cli(
+        capsys,
+        ["hpo", "--trials", "2", "--tiny", "--tiles", arrays,
+         "--eval-inputs", eval_dir, "--eval-track", track_csv,
+         "--eval-bounds", ",".join(str(b) for b in eval_bounds),
+         "--report", report, "--seed", "3"],
+    )
+    assert rc == 0, res
+    assert res["value_metric"] == "rmse_test_m"
+    assert np.isfinite(res["best_value"])
+    top = json.load(open(report))["top_trials"]
+    assert 1 <= len(top) <= 2 and "params_learning_rate" in top[0]
+
     # --- stage 4: train on the built arrays, save a checkpoint ---
     ckpt = str(tmp_path / "ckpt")
     rc, res = run_cli(
