@@ -56,6 +56,8 @@ def main() -> None:
         tail_pack_taps=os.environ.get(
             "PACK_TAPS", "1" if cfg.tail_pack_taps else "0") == "1",
         compute_dtype=os.environ.get("DTYPE", cfg.compute_dtype),
+        rdb_mxu_bf16=os.environ.get(
+            "RDB_BF16", "1" if cfg.rdb_mxu_bf16 else "0") == "1",
     )
     model, params = build_generator(cfg, lr=11)
 

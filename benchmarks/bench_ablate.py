@@ -160,6 +160,13 @@ def main():
         "bf16_tail_fused": GeneratorConfig(
             compute_dtype="bfloat16", tail_fused=True
         ),
+        # bf16 dot multiplicands INSIDE the fused-RDB kernel (fp32
+        # accumulate, fp32 activations everywhere — not the same thing as
+        # compute_dtype=bfloat16, which disables the kernel entirely)
+        "rdb_bf16mxu": GeneratorConfig(rdb_mxu_bf16=True),
+        "rdb_bf16mxu_tail_fused": GeneratorConfig(
+            rdb_mxu_bf16=True, tail_fused=True, tail_pack_taps=True
+        ),
         # half-depth trunk: (full - trunk_6) / 6 = ms per RRDB in-model
         "trunk_6": GeneratorConfig(num_residual_blocks=6),
     }

@@ -51,10 +51,12 @@ def main():
         tail_fused=os.environ.get("TAIL_FUSED", "") == "1",
         tail_pack_taps=os.environ.get("PACK_TAPS", "") == "1",
         compute_dtype=os.environ.get("DTYPE", "float32"),
+        rdb_mxu_bf16=os.environ.get("RDB_BF16", "") == "1",
     )
     print(json.dumps({"config": {
         "tail_fused": cfg.tail_fused, "tail_pack_taps": cfg.tail_pack_taps,
-        "compute_dtype": cfg.compute_dtype}}), flush=True)
+        "compute_dtype": cfg.compute_dtype,
+        "rdb_mxu_bf16": cfg.rdb_mxu_bf16}}), flush=True)
     model, params = build_generator(cfg, lr=11)
 
     def forward_fn(x, w1, w2, w3):

@@ -36,9 +36,16 @@ class GeneratorConfig:
     scale: int = 4  # super-resolution upscale factor (2x nearest-neighbour, twice)
     # He-normal init std multiplier (Chainer HeNormal(scale=0.1), srgan_train.py:220)
     init_scale: float = 0.1
-    # Conv compute dtype: 'float32' (reference parity) or 'bfloat16' (params
-    # and residual/skip adds stay fp32; ~3x faster trunk on TPU; elevation
-    # outputs carry bf16 feature noise — validate RMSE before production use).
+    # Conv compute dtype: 'float32' (reference parity AND the fast path) or
+    # 'bfloat16' (params and residual/skip adds stay fp32). MEASURED (r4,
+    # benchmarks/RESULTS.md precision policy): bf16 is a LOSS on the v5e
+    # continent tile — 141.3 ms vs fp32's 115.0 (fused tail: 127.6 vs
+    # 104.2) — because (a) XLA's default conv precision already feeds the
+    # MXU single-pass bf16 multiplicands for fp32 data, so bf16 buys no
+    # MXU time, and (b) the fused-RDB Pallas trunk is an fp32 kernel, so
+    # bf16 falls back to the slower XLA trunk composition. It also costs
+    # 6.3e-3 relative output error (~6 m at elevation scale). fp32 is the
+    # production policy; the knob stays for parity experiments.
     compute_dtype: str = "float32"
     # Rematerialise each RRDB in the backward pass (jax.checkpoint on the scan
     # body): trades ~1 extra trunk forward for O(depth) less activation
@@ -48,6 +55,12 @@ class GeneratorConfig:
     # (ops.pallas_rdb): 'auto' dispatches by backend/shape, 'never'/'always'
     # force the XLA composition or the fused kernel.
     fused_rdb: str = "auto"
+    # bf16 dot MULTIPLICANDS inside the fused-RDB kernel, fp32 accumulation
+    # — the same single-pass-MXU precision XLA's default applies to fp32
+    # convs. Only the trunk-kernel matmuls change; activations between
+    # convs, biases, LeakyReLU and residuals stay fp32. Measured on TPU
+    # before flipping any default (benchmarks/RESULTS.md).
+    rdb_mxu_bf16: bool = False
     # Deformable-conv offset clamp in px (masked-shift span). Chainer's
     # sampler is unbounded; learned offsets stay well inside +/-1 px, so
     # clamp=1 halves the sampler cost with identical outputs on trained

@@ -124,6 +124,9 @@ class ResidualDenseBlock(nn.Module):
     init_scale: float = 0.1
     dtype: Any = None
     fused: str = "auto"  # 'auto' | 'never' | 'always'
+    # bf16 dot multiplicands inside the fused kernel (fp32 accumulation —
+    # XLA's default conv precision for fp32 data); config.rdb_mxu_bf16
+    mxu_bf16: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -156,7 +159,8 @@ class ResidualDenseBlock(nn.Module):
         )
         if use_fused:
             return rdb_fused(
-                x.astype(jnp.float32), kernels, biases, self.residual_scaling
+                x.astype(jnp.float32), kernels, biases,
+                self.residual_scaling, 32, self.mxu_bf16,
             )
 
         def conv(a, k, b):
@@ -191,6 +195,7 @@ class ResInResDenseBlock(nn.Module):
     init_scale: float = 0.1
     dtype: Any = None
     fused: str = "auto"
+    mxu_bf16: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -203,6 +208,7 @@ class ResInResDenseBlock(nn.Module):
                 self.init_scale,
                 self.dtype,
                 fused=self.fused,
+                mxu_bf16=self.mxu_bf16,
                 name=f"residual_dense_block{i}",
             )(a)
         return x + self.residual_scaling * a

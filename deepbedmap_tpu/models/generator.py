@@ -82,6 +82,7 @@ class _RRDBStep(nn.Module):
     init_scale: float
     dtype: Any = None
     fused: str = "auto"
+    mxu_bf16: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
@@ -92,6 +93,7 @@ class _RRDBStep(nn.Module):
             self.init_scale,
             self.dtype,
             fused=self.fused,
+            mxu_bf16=self.mxu_bf16,
             name="block",
         )(carry)
         return out, None
@@ -141,6 +143,7 @@ class Generator(nn.Module):
             cfg.init_scale,
             dtype,
             cfg.fused_rdb,
+            cfg.rdb_mxu_bf16,
             name="residual_network",
         )
         a2, _ = trunk(a1, None)

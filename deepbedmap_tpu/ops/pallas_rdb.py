@@ -112,10 +112,16 @@ def _rdb_kernel(
     growth: int,
     scaling: float,
     pack_dys: bool = False,
+    mxu_bf16: bool = False,
 ):
     F, G = features, growth
     E = x_ref.shape[1]
     pid = pl.program_id(0)
+    # mxu_bf16: dot MULTIPLICANDS in bf16, accumulation fp32 — exactly
+    # XLA's default precision for fp32 convs on TPU. Weights arrive
+    # pre-cast (w refs are bf16); activations cast at the dot edge, while
+    # biases, LeakyReLU, masking and the residual stay fp32.
+    mdt = jnp.bfloat16 if mxu_bf16 else jnp.float32
 
     # validity mask: zero on pad columns and out-of-image rows (this IS the
     # SAME-conv zero padding for every intermediate activation, and it
@@ -151,6 +157,7 @@ def _rdb_kernel(
         at N and 2N (N is a multiple of 32; Mosaic lowers the unaligned
         slices to lane shuffles — whether that beats the 3x-wider MXU
         passes is what the bench decides)."""
+        src3 = src3.astype(mdt)
         if pack_dys:
             nn = w_ref_.shape[1] // 3
             p = jnp.dot(src3, w_ref_[...], preferred_element_type=jnp.float32)
@@ -200,7 +207,7 @@ def _rdb_kernel(
 
     # conv5 (no activation): gather every source's c5 block + a4's dots,
     # assembled directly on the output rows
-    s3a4 = s3(a4)
+    s3a4 = s3(a4).astype(mdt)
     lo = _MARGIN * wp
     hi = lo + band * wp
     a5 = (
@@ -258,18 +265,18 @@ def should_fuse(shape) -> bool:
     return h * w >= 256 * 256
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def rdb_fused(x, kernels, biases, scaling, band=32):
-    return rdb_pallas(x, kernels, biases, scaling, band=band)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def rdb_fused(x, kernels, biases, scaling, band=32, mxu_bf16=False):
+    return rdb_pallas(x, kernels, biases, scaling, band=band, mxu_bf16=mxu_bf16)
 
 
-def _rdb_fused_fwd(x, kernels, biases, scaling, band):
-    return rdb_pallas(x, kernels, biases, scaling, band=band), (
-        x, tuple(kernels), tuple(biases),
-    )
+def _rdb_fused_fwd(x, kernels, biases, scaling, band, mxu_bf16):
+    return rdb_pallas(
+        x, kernels, biases, scaling, band=band, mxu_bf16=mxu_bf16
+    ), (x, tuple(kernels), tuple(biases))
 
 
-def _rdb_fused_bwd(scaling, band, res, g):
+def _rdb_fused_bwd(scaling, band, mxu_bf16, res, g):
     # backward = autodiff of the identical XLA composition (training runs the
     # XLA path anyway — small tiles — but grads must exist under jit)
     x, kernels, biases, = res
@@ -291,6 +298,7 @@ def rdb_pallas(
     band: int = 32,
     interpret: bool = False,
     pack_dys: bool = True,
+    mxu_bf16: bool = False,
 ) -> jax.Array:
     """Fused dense block: out = x + scaling * conv5(dense(x)). Requires
     (W + 2) % 8 == 0 (the flattened row pitch must be sublane-aligned so the
@@ -310,6 +318,8 @@ def rdb_pallas(
     e = (band + 2 * _MARGIN) * wp
 
     packed = _pack_weights(kernels, f, g, pack_dys=pack_dys)
+    if mxu_bf16:
+        packed = [p_.astype(jnp.bfloat16) for p_ in packed]
     b_all = jnp.concatenate(biases)[None, :]
 
     def one(img):  # (H, W, F) -> (H, W, F)
@@ -334,6 +344,7 @@ def rdb_pallas(
             growth=g,
             scaling=scaling,
             pack_dys=pack_dys,
+            mxu_bf16=mxu_bf16,
         )
         out = pl.pallas_call(
             kernel,

@@ -53,6 +53,25 @@ def test_rdb_kernel_matches_xla(shape, band, pack_dys):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+def test_rdb_mxu_bf16_multiplicand_parity():
+    """mxu_bf16: only the dot multiplicands round to bf16 (fp32 accumulate,
+    fp32 activations/bias/lrelu/residual — XLA's default fp32-conv
+    precision). Must track the fp32 oracle at bf16-multiplicand tolerance
+    AND genuinely differ from the fp32 kernel (proving the cast is live)."""
+    rs = np.random.RandomState(3)
+    kernels, biases = _params(seed=3)
+    x = jnp.asarray(rs.randn(1, 13, 14, F).astype(np.float32))
+    ref = rdb_reference(x, kernels, biases, 0.2)
+    got16 = rdb_pallas(x, kernels, biases, 0.2, band=4, mxu_bf16=True)
+    got32 = rdb_pallas(x, kernels, biases, 0.2, band=4)
+    # residual scaling 0.1-0.2 keeps block deltas small; bf16 multiplicands
+    # carry ~4e-3 relative rounding through five chained convs
+    np.testing.assert_allclose(
+        np.asarray(got16), np.asarray(ref), rtol=3e-2, atol=3e-2
+    )
+    assert np.abs(np.asarray(got16) - np.asarray(got32)).max() > 1e-6
+
+
 def test_rdb_zero_padding_semantics():
     """A bright border pixel must influence neighbours exactly as SAME
     zero-padding dictates (the kernel's mask-based padding vs real pads)."""
