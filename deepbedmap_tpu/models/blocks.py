@@ -214,6 +214,62 @@ class ResInResDenseBlock(nn.Module):
         return x + self.residual_scaling * a
 
 
+class FusedConv3x3(nn.Module):
+    """3x3 SAME conv with optional fused LeakyReLU / residual-add epilogues.
+
+    Dispatches to the Pallas tail-conv kernel (``ops.pallas_conv``) on TPU
+    inference-scale images — one MXU dot per row band instead of XLA's
+    2-11 TFLOP/s conv at batch 1 / 64 channels — and to the identical XLA
+    composition otherwise (training tiles, CPU, non-fp32 compute dtypes).
+    Parameter tree ('kernel', 'bias') and initialisation match ``nn.Conv``
+    exactly, so checkpoints and the Chainer weight shim are unaffected.
+    Reference layers it serves: srgan_train.py:470-505.
+    """
+
+    features: int
+    init_scale: float = 0.1
+    dtype: Any = None
+    leaky: bool = False
+    fused: str = "auto"  # 'auto' | 'never' | 'always'
+    mxu_bf16: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, residual: jax.Array | None = None) -> jax.Array:
+        from deepbedmap_tpu.ops.pallas_conv import (
+            conv3x3_fused,
+            conv3x3_res_fused,
+            should_fuse_conv,
+        )
+
+        kernel = self.param(
+            "kernel", he_normal_chainer(self.init_scale), (3, 3, x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        use_fused = self.fused == "always" or (
+            self.fused == "auto" and self.dtype is None and should_fuse_conv(x.shape)
+        )
+        if use_fused:
+            if residual is None:
+                return conv3x3_fused(
+                    x.astype(jnp.float32), kernel, bias, self.leaky, self.mxu_bf16
+                )
+            return conv3x3_res_fused(
+                x.astype(jnp.float32), kernel, bias,
+                residual.astype(jnp.float32), self.leaky, self.mxu_bf16,
+            )
+        if self.dtype is not None:
+            x, kernel, bias = (
+                x.astype(self.dtype), kernel.astype(self.dtype), bias.astype(self.dtype)
+            )
+        z = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+        if residual is not None:
+            z = z + residual
+        return leaky_relu(z) if self.leaky else z
+
+
 class ConvHCW(nn.Module):
     """3x3 SAME conv whose OUTPUT is laid out channels-before-width
     (N, H, C, W) — emitted natively by the XLA conv (measured +0.3 ms at
