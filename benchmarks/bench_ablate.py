@@ -39,6 +39,10 @@ import numpy as np
 
 FWD_REPS = int(os.environ.get("REPS", "3"))
 LAT = int(os.environ.get("LAT", "286"))
+# tiles per dispatch: BATCH>1 stacks independent tiles on the batch dim and
+# reports PER-TILE ms — measures whether batch-1's MXU under-utilisation in
+# the XLA conv stages (2-11 TFLOP/s, bench_tail_r3d.log) amortises away
+BATCH = int(os.environ.get("BATCH", "1"))
 
 
 def log(msg):
@@ -73,7 +77,7 @@ def bench_forward(model, params, xs):
     t0 = time.perf_counter()
     float(base(xs[0]))
     t_base = time.perf_counter() - t0
-    return (t_run - t_base) / FWD_REPS * 1e3
+    return (t_run - t_base) / (FWD_REPS * BATCH) * 1e3
 
 
 def _ablated_generator(cfg):
@@ -137,38 +141,78 @@ def main():
     from deepbedmap_tpu.models import build_generator
     from deepbedmap_tpu.models.api import example_inputs_nhwc
 
-    log(f"devices: {jax.devices()}  LAT={LAT} reps={FWD_REPS}")
+    log(f"devices: {jax.devices()}  LAT={LAT} reps={FWD_REPS} batch={BATCH}")
     rs = np.random.RandomState(0)
     xs = (
-        jnp.asarray(rs.rand(1, LAT + 2, LAT + 2, 1), jnp.float32),
-        jnp.asarray(rs.rand(1, 10 * (LAT + 2), 10 * (LAT + 2), 1), jnp.float32),
-        jnp.asarray(rs.rand(1, 2 * (LAT + 2), 2 * (LAT + 2), 2), jnp.float32),
-        jnp.asarray(rs.rand(1, LAT + 2, LAT + 2, 1), jnp.float32),
+        jnp.asarray(rs.rand(BATCH, LAT + 2, LAT + 2, 1), jnp.float32),
+        jnp.asarray(
+            rs.rand(BATCH, 10 * (LAT + 2), 10 * (LAT + 2), 1), jnp.float32
+        ),
+        jnp.asarray(rs.rand(BATCH, 2 * (LAT + 2), 2 * (LAT + 2), 2), jnp.float32),
+        jnp.asarray(rs.rand(BATCH, LAT + 2, LAT + 2, 1), jnp.float32),
     )
 
+    # every variant sets its tail flags EXPLICITLY (the production default
+    # flipped to fused+packed in round 4, so bare GeneratorConfig() moves)
     variants = {
-        "full": GeneratorConfig(),
-        "tail_nhwc": GeneratorConfig(tail_hcw=False),
+        "full": GeneratorConfig(),  # production default (fused+packed tail)
+        "tail_unfused": GeneratorConfig(
+            tail_fused=False, tail_pack_taps=False
+        ),
+        "tail_nhwc": GeneratorConfig(
+            tail_hcw=False, tail_fused=False, tail_pack_taps=False
+        ),
         # both deform layers fused in one tiled domain (ops.pallas_tail)
-        "tail_fused": GeneratorConfig(tail_fused=True),
+        "tail_fused": GeneratorConfig(tail_fused=True, tail_pack_taps=False),
         # fused tail with the v4 tap-packed deform64 body
         "tail_fused_packed": GeneratorConfig(
             tail_fused=True, tail_pack_taps=True
         ),
         # bf16 conv compute (params fp32, samplers fp32; config.py policy)
-        "bf16": GeneratorConfig(compute_dtype="bfloat16"),
+        "bf16": GeneratorConfig(
+            compute_dtype="bfloat16", tail_fused=False, tail_pack_taps=False
+        ),
         "bf16_tail_fused": GeneratorConfig(
-            compute_dtype="bfloat16", tail_fused=True
+            compute_dtype="bfloat16", tail_fused=True, tail_pack_taps=False
         ),
         # bf16 dot multiplicands INSIDE the fused-RDB kernel (fp32
         # accumulate, fp32 activations everywhere — not the same thing as
         # compute_dtype=bfloat16, which disables the kernel entirely)
-        "rdb_bf16mxu": GeneratorConfig(rdb_mxu_bf16=True),
+        "rdb_bf16mxu": GeneratorConfig(
+            rdb_mxu_bf16=True, tail_fused=False, tail_pack_taps=False
+        ),
         "rdb_bf16mxu_tail_fused": GeneratorConfig(
             rdb_mxu_bf16=True, tail_fused=True, tail_pack_taps=True
         ),
         # half-depth trunk: (full - trunk_6) / 6 = ms per RRDB in-model
         "trunk_6": GeneratorConfig(num_residual_blocks=6),
+        # Pallas tail-conv kernel (ops.pallas_conv) on the four plain conv64
+        # stages, epilogues fused; vs 'full' = the conv-kernel in-model delta
+        "conv_fused": GeneratorConfig(fused_conv="auto"),
+        # + bf16 dot multiplicands in the conv kernel (the effective
+        # precision of the XLA convs it replaces)
+        "conv_fused_bf16mxu": GeneratorConfig(
+            fused_conv="auto", conv_mxu_bf16=True
+        ),
+        # every Pallas lever at once: fused trunk (bf16 multiplicands),
+        # fused convs (bf16 multiplicands), fused packed deform tail
+        "all_pallas_bf16mxu": GeneratorConfig(
+            fused_conv="auto", conv_mxu_bf16=True, rdb_mxu_bf16=True
+        ),
+        # both upsample->conv stages as 2x2 phase convs at source resolution
+        # (ops.phase_conv: same function, 16/36 the MACs, no materialised 4x
+        # intermediate); vs 'full' = the phase-decomposition in-model delta
+        "phase_up": GeneratorConfig(upsample_phase_conv=True),
+        "phase_up_rdb_bf16mxu": GeneratorConfig(
+            upsample_phase_conv=True, rdb_mxu_bf16=True
+        ),
+        # deform offset clamp 1 px (vs default 2): smaller masked-shift span
+        # in both deform kernels; valid whenever the checkpoint's offsets
+        # stay within +/-1 px (bench_precision_delta.py validates that)
+        "clamp1": GeneratorConfig(deform_clamp=1),
+        "everything": GeneratorConfig(
+            upsample_phase_conv=True, rdb_mxu_bf16=True, deform_clamp=1
+        ),
     }
     only = os.environ.get("ONLY")
     if only:

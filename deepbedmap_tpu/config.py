@@ -55,12 +55,26 @@ class GeneratorConfig:
     # (ops.pallas_rdb): 'auto' dispatches by backend/shape, 'never'/'always'
     # force the XLA composition or the fused kernel.
     fused_rdb: str = "auto"
-    # bf16 dot MULTIPLICANDS inside the fused-RDB kernel, fp32 accumulation
-    # — the same single-pass-MXU precision XLA's default applies to fp32
-    # convs. Only the trunk-kernel matmuls change; activations between
-    # convs, biases, LeakyReLU and residuals stay fp32. Measured on TPU
-    # before flipping any default (benchmarks/RESULTS.md).
+    # bf16 dot MULTIPLICANDS inside the fused-RDB kernel, fp32 accumulation.
+    # MEASURED (r4, RESULTS.md): output delta vs the fp32 kernel is EXACTLY
+    # 0.0 on TPU at the dispatching shape — Mosaic's fp32 jnp.dot already
+    # truncates multiplicands to bf16 single-pass, so this flag only halves
+    # the operand bytes streamed to the MXU (−12.3 ms with the unfused
+    # tail; 0.6–1.5 ms, noise-edge, with the default fused tail). No
+    # quality cost, ever; opt-in because the default geometry gains ~nothing.
     rdb_mxu_bf16: bool = False
+    # Fused 3x3-conv Pallas kernel (ops.pallas_conv) for the generator's
+    # plain conv stages — pre/post-residual and both post-upsample convs —
+    # with their LeakyReLU / long-skip epilogues fused into the kernel
+    # epilogue. XLA runs these at 2-11 TFLOP/s effective on the v5e
+    # continent tile (conv64@1144^2 8.9 ms, @572^2 3.8, @286^2 2.7 —
+    # bench_tail_r3d.log) vs the ~36 TFLOP/s the RDB kernel reaches for the
+    # same op class. 'auto' dispatches on TPU inference-scale images
+    # (training tiles and CPU always take the XLA path), 'never' disables.
+    fused_conv: str = "never"
+    # bf16 dot multiplicands inside the fused conv kernel, fp32 accumulate —
+    # the effective precision of the XLA convs this kernel replaces.
+    conv_mxu_bf16: bool = False
     # Deformable-conv offset clamp in px (masked-shift span). Chainer's
     # sampler is unbounded; learned offsets stay well inside +/-1 px, so
     # clamp=1 halves the sampler cost with identical outputs on trained
@@ -86,13 +100,28 @@ class GeneratorConfig:
     # compute_dtype='bfloat16' the fused path runs its offset convs at the
     # compute dtype too (matching the unfused DeformableConv's
     # nn.Conv(dtype=...)), so fused vs unfused stays apples-to-apples.
-    tail_fused: bool = False
+    # DEFAULT ON since round 4: measured in-model at the continent tile
+    # shape 115.0 -> 104.2 ms, continent 48.0 -> 43.9 s/chip
+    # (benchmarks/tpu_session_logs/bench_ablate_r4b_tail.log,
+    # bench_continent_r4_fused.log). Training and CPU inference
+    # automatically use the equivalent XLA composition (method='auto').
+    tail_fused: bool = True
     # v4 tap-packed deform64 body inside the fused tail (one x slab + one
     # lane-concatenated dot per kernel row instead of one dot per tap) —
     # same numerics, 3x fewer MXU instructions; measured standalone it tied
-    # v3 (benchmarks/RESULTS.md), kept selectable for the fused-tail
-    # geometry where instruction issue differs.
-    tail_pack_taps: bool = False
+    # v3, but in the fused-tail geometry it wins slightly (104.22 vs
+    # 104.94 ms) — default on with the fused tail.
+    tail_pack_taps: bool = True
+    # Compute each nearest-upsample(2) -> 3x3 conv stage as ONE 2x2 conv at
+    # SOURCE resolution over summed phase kernels (ops.phase_conv): exactly
+    # the same function with 16/36 of the MACs, no materialised 4x fp32
+    # intermediate (335 MB at the continent tile shape), and a 4F=256-wide
+    # output channel dim that fills the 128-lane MXU where the literal
+    # conv64 starves it. Parameter tree identical (phase kernels are derived
+    # in-graph), so checkpoints/Chainer shim are unaffected; parity is to
+    # fp32 round-off (taps summed in the kernel instead of the dot).
+    # Default off until measured in-model on TPU (bench_ablate 'phase_up').
+    upsample_phase_conv: bool = False
 
     @property
     def concat_channels(self) -> int:

@@ -24,12 +24,14 @@ from deepbedmap_tpu.config import GeneratorConfig
 from deepbedmap_tpu.models.blocks import (
     ConvHCW,
     DeformableConv,
+    FusedConv3x3,
     InputBlock,
     ResInResDenseBlock,
     he_normal_chainer,
     leaky_relu,
 )
 from deepbedmap_tpu.ops.pallas_tail import fused_deform_tail
+from deepbedmap_tpu.ops.phase_conv import upsample2_conv3x3
 from deepbedmap_tpu.ops.resize import nearest_upsample
 
 
@@ -109,13 +111,16 @@ class Generator(nn.Module):
         cfg = self.cfg
         dtype = None if cfg.compute_dtype == "float32" else jnp.dtype(cfg.compute_dtype)
 
-        def conv64(name):
-            return nn.Conv(
-                features=cfg.base_channels,
-                kernel_size=(3, 3),
-                padding="SAME",
-                dtype=dtype,
-                kernel_init=he_normal_chainer(cfg.init_scale),
+        def conv64(name, leaky=False):
+            # param tree identical to nn.Conv; on TPU inference-scale images
+            # the conv + its epilogue run as one Pallas row-band kernel
+            return FusedConv3x3(
+                cfg.base_channels,
+                cfg.init_scale,
+                dtype,
+                leaky=leaky,
+                fused=cfg.fused_conv,
+                mxu_bf16=cfg.conv_mxu_bf16,
                 name=name,
             )
 
@@ -125,7 +130,7 @@ class Generator(nn.Module):
         )(x, w1, w2, w3)
 
         # 1: pre-residual conv
-        a1 = leaky_relu(conv64("pre_residual_conv_layer")(a0))
+        a1 = conv64("pre_residual_conv_layer", leaky=True)(a0)
 
         # 2: RRDB trunk as a scan (reference repeats the block class N times,
         # srgan_train.py:475-477); optionally remat each block for training
@@ -148,27 +153,45 @@ class Generator(nn.Module):
         )
         a2, _ = trunk(a1, None)
 
-        # 3: post-residual conv + long skip
-        a3 = conv64("post_residual_conv_layer")(a2) + a1
+        # 3: post-residual conv + long skip (fused into the conv epilogue)
+        a3 = conv64("post_residual_conv_layer")(a2, residual=a1)
 
-        # 4: two nearest-neighbour x2 upsample + conv stages. With tail_hcw
-        # the SECOND stage's conv emits channels-before-width (N, H, C, W)
-        # and the deform layers' row tilers then need no transposes — but
-        # measured in-model this is a small LOSS (config.py tail_hcw note),
-        # so the flag defaults off.
-        a4 = leaky_relu(
-            conv64("post_upsample_conv_layer_1")(nearest_upsample(a3, 2))
-        )
-        a4 = nearest_upsample(a4, 2)
-        if cfg.tail_hcw:
-            a4 = leaky_relu(
-                ConvHCW(
-                    cfg.base_channels, cfg.init_scale, dtype,
-                    name="post_upsample_conv_layer_2",
-                )(a4)
+        # 4: two nearest-neighbour x2 upsample + conv stages. With
+        # upsample_phase_conv each stage runs as ONE 2x2 conv at SOURCE
+        # resolution over summed phase kernels — same function, 16/36 the
+        # MACs, no materialised 4x intermediate (ops.phase_conv; parameter
+        # tree identical). With tail_hcw the SECOND stage's conv emits
+        # channels-before-width (N, H, C, W) and the deform layers' row
+        # tilers then need no transposes — but measured in-model this is a
+        # small LOSS (config.py tail_hcw note), so the flag defaults off.
+        if cfg.upsample_phase_conv:
+            assert not cfg.tail_hcw, (
+                "upsample_phase_conv and tail_hcw are exclusive"
             )
+            c = cfg.base_channels
+
+            def phase_up(name, src):
+                k, b = _ConvParams((3, 3, c, c), cfg.init_scale, name=name)()
+                if dtype is not None:
+                    src, k, b = src.astype(dtype), k.astype(dtype), b.astype(dtype)
+                return upsample2_conv3x3(src, k, b, leaky=True)
+
+            a4 = phase_up("post_upsample_conv_layer_1", a3)
+            a4 = phase_up("post_upsample_conv_layer_2", a4)
         else:
-            a4 = leaky_relu(conv64("post_upsample_conv_layer_2")(a4))
+            a4 = conv64("post_upsample_conv_layer_1", leaky=True)(
+                nearest_upsample(a3, 2)
+            )
+            a4 = nearest_upsample(a4, 2)
+            if cfg.tail_hcw:
+                a4 = leaky_relu(
+                    ConvHCW(
+                        cfg.base_channels, cfg.init_scale, dtype,
+                        name="post_upsample_conv_layer_2",
+                    )(a4)
+                )
+            else:
+                a4 = conv64("post_upsample_conv_layer_2", leaky=True)(a4)
 
         # 5: two deformable convolution output layers (fp32 internally).
         # tail_fused runs both in one tiled domain (ops.pallas_tail) with an

@@ -69,7 +69,14 @@ def generator_tile_flops(
     )
     stages["trunk"] = cfg.num_residual_blocks * 3 * rdb
     stages["post_residual"] = conv(lat, k, bc, bc)
-    stages["upsample_convs"] = conv(up1, k, bc, bc) + conv(up2, k, bc, bc)
+    # upsample_phase_conv computes the SAME function with 2x2 phase kernels
+    # at source resolution: 16 MACs per source px vs the literal 9 per
+    # hi-res px (= 36 per source px). MFU counts the work actually required
+    # by the executed algorithm, so the minimal count drops with the flag.
+    if cfg.upsample_phase_conv:
+        stages["upsample_convs"] = conv(lat, 16, bc, bc) + conv(up1, 16, bc, bc)
+    else:
+        stages["upsample_convs"] = conv(up1, k, bc, bc) + conv(up2, k, bc, bc)
     # deform layer 1: offset conv (64->18) + bilinear sampling (4 MACs per
     # tap/channel/px) + 3x3 kernel contraction (64->64)
     stages["deform64"] = (

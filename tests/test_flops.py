@@ -38,6 +38,23 @@ def test_flops_scale_with_depth_and_size():
     assert base["trunk"] / small["trunk"] == (286 / 143) ** 2
 
 
+def test_phase_conv_flops_hand_count():
+    """upsample_phase_conv counts the executed algorithm's minimal work:
+    16 MACs per SOURCE px per stage vs the literal 9 per HI-RES px
+    (36 per source px) — a 2.25x reduction of the upsample-conv stage."""
+    lit = generator_tile_flops(GeneratorConfig(), lr=288)
+    ph = generator_tile_flops(
+        GeneratorConfig(upsample_phase_conv=True), lr=288
+    )
+    np.testing.assert_allclose(
+        lit["upsample_convs"] / ph["upsample_convs"], 2.25, rtol=0
+    )
+    expect = 2.0 * 16 * 64 * 64 * (286**2 + 572**2)
+    np.testing.assert_allclose(ph["upsample_convs"], expect, rtol=0)
+    for k in ("trunk", "deform64", "deform1", "input_block"):
+        np.testing.assert_allclose(ph[k], lit[k], rtol=0)
+
+
 def test_mfu_report():
     # 115 ms/tile (the round-3 measured forward) -> ~14.9 TFLOP/s, ~7.6% MFU
     m = generator_mfu(0.115, lr=288)

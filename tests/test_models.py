@@ -106,10 +106,12 @@ def test_tail_hcw_layout_is_equivalent(rng):
     layout change: identical parameter tree, outputs equal to fp32 round-off
     vs the plain-NHWC tail."""
     model_h, params = build_generator(
-        GeneratorConfig(num_residual_blocks=2, tail_hcw=True), lr=11
+        GeneratorConfig(num_residual_blocks=2, tail_hcw=True, tail_fused=False),
+        lr=11,
     )
     model_n, params_n = build_generator(
-        GeneratorConfig(num_residual_blocks=2, tail_hcw=False), lr=11
+        GeneratorConfig(num_residual_blocks=2, tail_hcw=False, tail_fused=False),
+        lr=11,
     )
     jax.tree_util.tree_all(
         jax.tree.map(lambda a, b: a.shape == b.shape, params, params_n)
@@ -121,6 +123,31 @@ def test_tail_hcw_layout_is_equivalent(rng):
     assert out_h.shape == out_n.shape
     np.testing.assert_allclose(
         np.asarray(out_h), np.asarray(out_n), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_fused_conv_stages_are_equivalent(rng):
+    """fused_conv='always' (the Pallas tail-conv kernel on the four plain
+    conv64 stages, ops/pallas_conv.py — interpret mode off-TPU) is the same
+    math as the XLA convs: identical parameter tree, outputs equal to fp32
+    round-off. The model-level dispatch contract for the round-4 conv
+    kernel, mirroring the fused-RDB and fused-tail equivalence tests."""
+    model_f, params = build_generator(
+        GeneratorConfig(num_residual_blocks=2, fused_conv="always"), lr=11
+    )
+    model_x, params_x = build_generator(
+        GeneratorConfig(num_residual_blocks=2, fused_conv="never"), lr=11
+    )
+    jax.tree_util.tree_all(
+        jax.tree.map(lambda a, b: a.shape == b.shape, params, params_x)
+    )
+    xs = example_inputs_nhwc(1, 11)
+    xs = tuple(jnp.asarray(rng.randn(*x.shape), jnp.float32) for x in xs)
+    out_f = model_f.apply({"params": params}, *xs)
+    out_x = model_x.apply({"params": params}, *xs)
+    assert out_f.shape == out_x.shape
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_x), rtol=2e-5, atol=2e-5
     )
 
 
