@@ -19,3 +19,7 @@ from deepbedmap_tpu.inference.continent import (  # noqa: F401
     predict_continent_to_geotiff,
     save_continent_dem,
 )
+from deepbedmap_tpu.inference.multihost import (  # noqa: F401
+    predict_continent_multihost,
+    predict_continent_multihost_to_geotiff,
+)

@@ -36,6 +36,7 @@ def _make_band_predictor(
     plan: TilePlan,
     clip_conditioning: bool,
     tile_loop: str = "scan",
+    tiles_per_dispatch: int = 1,
 ):
     """jitted (band_inputs with vertical halo) -> (tile_out, out_w) strip.
 
@@ -48,9 +49,18 @@ def _make_band_predictor(
       for this image's uncached remote Mosaic compile (~25 min for the fused
       trunk vs ~1 min for the single tile fn); dispatches stay async, so the
       steady-state cost is one RTT per band fetch either way.
+
+    ``tiles_per_dispatch``: tiles stacked on the BATCH dim per forward call.
+    Batch-1 leaves the XLA conv stages MXU-underfed at these shapes; batch 2
+    amortises it — measured 103.1 -> 97.0 ms/tile, batch 4 96.6 (diminishing;
+    bench_ablate_r4i_b{2,4}.log). Device memory per dispatch scales with it.
+    A trailing remainder group clamps its tile indices to the last tile
+    (recomputing it into the same strip slot), so any ``gx`` works.
     """
     if tile_loop not in ("scan", "host"):
         raise ValueError(f"tile_loop must be 'scan' or 'host', got {tile_loop!r}")
+    if tiles_per_dispatch < 1:
+        raise ValueError(f"tiles_per_dispatch must be >= 1, got {tiles_per_dispatch}")
     gx = plan.grid[1]
     ratioed = {k: r for k, r in INPUT_RATIOS.items()}
 
@@ -85,6 +95,39 @@ def _make_band_predictor(
         d = plan.discard_hr
         return pred[0, d : pred.shape[1] - d, d : pred.shape[2] - d, 0]
 
+    def tile_group(padded: Dict[str, jax.Array], txs) -> jax.Array:
+        """txs: (B,) clamped tile indices -> (B, tile_out, tile_out) preds,
+        ONE batched forward (tiles stacked on the batch dim)."""
+        crops = {}
+        for key, ratio in ratioed.items():
+            a = padded[key]
+            size = plan.crop_lr * ratio
+            crops[key] = jax.vmap(
+                lambda t, a=a, size=size, ratio=ratio: jax.lax.dynamic_slice(
+                    a,
+                    (0, 0, t * plan.tile_lr * ratio, 0),
+                    (1, a.shape[1], size, a.shape[3]),
+                )[0]
+            )(txs)
+        pred = forward_fn(crops["X"], crops["W1"], crops["W2"], crops["W3"])
+        d = plan.discard_hr
+        return pred[:, d : pred.shape[1] - d, d : pred.shape[2] - d, 0]
+
+    B = tiles_per_dispatch
+    n_groups = -(-gx // B)
+
+    def group_update(padded, strip, g) -> jax.Array:
+        """Predict group g's B tiles in one forward and write them into the
+        strip. Remainder indices clamp to gx-1: the duplicate prediction
+        rewrites the same (correct) strip slot."""
+        txs = jnp.minimum(g * B + jnp.arange(B), gx - 1)
+        preds = tile_group(padded, txs)
+        for i in range(B):
+            strip = jax.lax.dynamic_update_slice(
+                strip, preds[i], (0, txs[i] * plan.tile_out)
+            )
+        return strip
+
     if tile_loop == "scan":
 
         @jax.jit
@@ -97,8 +140,14 @@ def _make_band_predictor(
                 )
                 return strip, None
 
+            def body_group(strip, g):
+                return group_update(padded, strip, g), None
+
             strip0 = jnp.zeros((plan.tile_out, plan.out_w), jnp.float32)
-            strip, _ = jax.lax.scan(body, strip0, jnp.arange(gx))
+            if B == 1:  # keep the measured batch-1 graph byte-identical
+                strip, _ = jax.lax.scan(body, strip0, jnp.arange(gx))
+            else:
+                strip, _ = jax.lax.scan(body_group, strip0, jnp.arange(n_groups))
             return strip
 
         return band_predict
@@ -111,11 +160,17 @@ def _make_band_predictor(
             strip, tile(padded, tx), (0, tx * plan.tile_out)
         )
 
+    group_update_jit = jax.jit(group_update)
+
     def band_predict_host(band_inputs: Dict[str, jax.Array]) -> jax.Array:
         padded = prep_jit(band_inputs)
         strip = jnp.zeros((plan.tile_out, plan.out_w), jnp.float32)
-        for tx in range(gx):
-            strip = tile_update(padded, strip, jnp.int32(tx))
+        if B == 1:
+            for tx in range(gx):
+                strip = tile_update(padded, strip, jnp.int32(tx))
+        else:
+            for g in range(n_groups):
+                strip = group_update_jit(padded, strip, jnp.int32(g))
         return strip
 
     return band_predict_host
@@ -192,15 +247,19 @@ def predict_continent(
     progress: Optional[Callable[[int, int], None]] = None,
     tile_loop: str = "scan",
     prefetch: int = 1,
+    tiles_per_dispatch: int = 1,
 ) -> np.ndarray:
     """Predict the full (out_h, out_w) DEM band by band; returns the host
     canvas (float32). ``tile_loop='host'`` trades one dispatch per band for a
     ~25x faster first compile when the fused Pallas trunk is active (see
     _make_band_predictor). ``prefetch``: bands dispatched ahead of the fetch
-    (see _run_band_pipeline; 0 = serial, one band resident on device)."""
+    (see _run_band_pipeline; 0 = serial, one band resident on device).
+    ``tiles_per_dispatch``: tiles batched per forward (2 recovers ~6% of
+    per-tile time — see _make_band_predictor)."""
     gy, _ = plan.grid
     band_predict = _make_band_predictor(
-        forward_fn, plan, clip_conditioning, tile_loop=tile_loop
+        forward_fn, plan, clip_conditioning, tile_loop=tile_loop,
+        tiles_per_dispatch=tiles_per_dispatch,
     )
     canvas = np.empty((plan.out_h, plan.out_w), np.float32)
 
@@ -220,6 +279,7 @@ def _make_sharded_band_pipeline(
     plan: TilePlan,
     mesh,
     clip_conditioning: bool,
+    tiles_per_dispatch: int = 1,
 ):
     """(dispatch, fetch) for one mesh-sharded row band: dispatch slices the
     band off the host rasters and launches the sharded tile prediction
@@ -230,18 +290,6 @@ def _make_sharded_band_pipeline(
     diverge."""
     from deepbedmap_tpu.parallel.api import sharded_predict_tiles
 
-    # Scope: single-controller (single-host) meshes only. Both continent paths
-    # keep the full-region conditioning rasters host-side and feed whole bands
-    # to the mesh; on a multi-host pod every process would have to hold (and
-    # ship) every band — wasteful and incorrect for process-local data. The
-    # stated production target (v5e-8, one host) fits this; a pod-scale run
-    # needs per-host band distribution first.
-    if jax.process_count() > 1:
-        raise NotImplementedError(
-            "mesh-sharded continent inference is single-host only: band "
-            "inputs are host-global numpy (see ARCHITECTURE.md, 'Multi-host "
-            "scope'); shard bands across hosts before calling"
-        )
     gy, gx = plan.grid
     # band-local plan: one row of the full grid
     band_plan = TilePlan(
@@ -253,11 +301,12 @@ def _make_sharded_band_pipeline(
     )
     hpad = {k: band_plan.pad_lr * r for k, r in INPUT_RATIOS.items()}
 
-    def dispatch(inputs_host: Dict[str, np.ndarray], band: int) -> jax.Array:
-        band_inputs = _band_inputs(inputs_host, plan, band)
+    def dispatch_band(band_inputs: Dict[str, jax.Array]) -> jax.Array:
+        """Launch the sharded prediction for ONE already-sliced halo'd band
+        (the multi-host path feeds process-local bands here directly)."""
         prepped = {}
         for key, ratio in INPUT_RATIOS.items():
-            a = band_inputs[key]
+            a = jnp.asarray(band_inputs[key])
             if clip_conditioning and key != "X":
                 a = jnp.maximum(a, 0.0)
             # horizontal halo is edge padding (region borders); the vertical
@@ -268,10 +317,16 @@ def _make_sharded_band_pipeline(
                 mode="edge",
             )
         tiles = sharded_predict_tiles(
-            forward_fn, prepped, band_plan, mesh, prepadded=True
+            forward_fn, prepped, band_plan, mesh, prepadded=True,
+            tiles_per_dispatch=tiles_per_dispatch,
         )
         assert tiles.shape == (gx, plan.tile_out, plan.tile_out)
         return tiles
+
+    def dispatch(inputs_host: Dict[str, np.ndarray], band: int) -> jax.Array:
+        return dispatch_band(_band_inputs(inputs_host, plan, band))
+
+    dispatch.dispatch_band = dispatch_band  # inference.multihost uses this
 
     def fetch(tiles: jax.Array) -> np.ndarray:
         return np.asarray(tiles).transpose(1, 0, 2).reshape(
@@ -303,6 +358,7 @@ def predict_continent_sharded(
     clip_conditioning: bool = True,
     progress: Optional[Callable[[int, int], None]] = None,
     prefetch: int = 1,
+    tiles_per_dispatch: int = 1,
 ) -> np.ndarray:
     """Band streaming x mesh-sharded tiles — the multi-chip production path:
     each row band's inputs move to the mesh once (vertical halo = REAL
@@ -314,9 +370,11 @@ def predict_continent_sharded(
     current band's compute — see _run_band_pipeline); speed scales with the
     mesh.
     """
+    _require_single_host()
     gy, _ = plan.grid
     dispatch, fetch = _make_sharded_band_pipeline(
-        forward_fn, plan, mesh, clip_conditioning
+        forward_fn, plan, mesh, clip_conditioning,
+        tiles_per_dispatch=tiles_per_dispatch,
     )
     canvas = np.empty((plan.out_h, plan.out_w), np.float32)
 
@@ -327,6 +385,20 @@ def predict_continent_sharded(
         dispatch, fetch, inputs_host, gy, consume, progress, prefetch
     )
     return canvas
+
+
+def _require_single_host() -> None:
+    """The single-host continent paths feed host-GLOBAL numpy rasters to the
+    mesh; on a multi-controller pod every process would have to hold (and
+    ship) every band. ``inference.multihost`` distributes bands across
+    processes instead — use it there."""
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "this continent path is single-host only (band inputs are "
+            "host-global numpy); use "
+            "inference.multihost.predict_continent_multihost[_to_geotiff] "
+            "for per-process band distribution on a pod"
+        )
 
 
 def predict_continent_to_geotiff(
@@ -345,6 +417,7 @@ def predict_continent_to_geotiff(
     prefetch: int = 1,
     overviews: int = 0,
     predictor: bool = False,
+    tiles_per_dispatch: int = 1,
 ) -> str:
     """Band-streamed inference piped straight into the int16 LZW GeoTIFF —
     a writer thread LZW-encodes and writes band strip i while the device
@@ -377,9 +450,7 @@ def predict_continent_to_geotiff(
     bed roughness approaches white noise at the 250 m posting — measure on
     your output before enabling (benchmarks/RESULTS.md).
     """
-    import queue
-    import threading
-
+    _require_single_host()
     gy, _ = plan.grid
     if rows_per_strip is None:
         for d in (8, 10, 5, 4, 2):
@@ -390,73 +461,104 @@ def predict_continent_to_geotiff(
             rows_per_strip = 0  # no uniform divisor: one strip per band
     if mesh is not None:
         dispatch, fetch = _make_sharded_band_pipeline(
-            forward_fn, plan, mesh, clip_conditioning
+            forward_fn, plan, mesh, clip_conditioning,
+            tiles_per_dispatch=tiles_per_dispatch,
         )
     else:
         band_predict = _make_band_predictor(
-            forward_fn, plan, clip_conditioning, tile_loop=tile_loop
+            forward_fn, plan, clip_conditioning, tile_loop=tile_loop,
+            tiles_per_dispatch=tiles_per_dispatch,
         )
         dispatch = lambda ih, band: band_predict(_band_inputs(ih, plan, band))
         fetch = np.asarray
 
-    xmin, ymin, xmax, ymax = bounds
-    from deepbedmap_tpu.data.geotiff import GeoTiffStripWriter
-
-    writer = GeoTiffStripWriter(
-        f"{outfilepath}.tif",
-        height=plan.out_h,
-        width=plan.out_w,
-        left=xmin,
-        top=ymax,
-        res=(xmax - xmin) / plan.out_w,
-        dtype=np.int16,
-        nodata=nodataval,
-        compress=compress,
-        rows_per_strip=rows_per_strip or None,
-        overviews=overviews,
-        predictor=predictor,
+    tw = _ThreadedStripWriter(
+        outfilepath, plan, bounds, nodataval, compress,
+        rows_per_strip or None, overviews, predictor,
     )
-    strips: "queue.Queue" = queue.Queue(maxsize=2)
-    error: list = []
+    try:
+        _run_band_pipeline(
+            dispatch, fetch, inputs_host, gy,
+            lambda band, strip: tw.put(strip), progress, prefetch,
+        )
+        tw.close()
+    except BaseException:
+        tw.abort()
+        raise
+    return tw.path
 
-    def drain():
+
+class _ThreadedStripWriter:
+    """GeoTiffStripWriter fed from a drain thread: the ctypes LZW call and
+    the device wait both release the GIL, so encode overlaps compute. Shared
+    by the single-host streamed path above and inference.multihost's
+    process-0 writer. ``put`` re-raises any pending writer-thread error;
+    ``abort`` guarantees no dangling handle and no corrupt-but-plausible
+    partial product."""
+
+    def __init__(
+        self, outfilepath, plan, bounds, nodataval, compress,
+        rows_per_strip, overviews, predictor,
+    ):
+        import queue
+        import threading
+
+        from deepbedmap_tpu.data.geotiff import GeoTiffStripWriter
+
+        xmin, ymin, xmax, ymax = bounds
+        self.path = f"{outfilepath}.tif"
+        self._writer = GeoTiffStripWriter(
+            self.path,
+            height=plan.out_h,
+            width=plan.out_w,
+            left=xmin,
+            top=ymax,
+            res=(xmax - xmin) / plan.out_w,
+            dtype=np.int16,
+            nodata=nodataval,
+            compress=compress,
+            rows_per_strip=rows_per_strip,
+            overviews=overviews,
+            predictor=predictor,
+        )
+        self._strips: "queue.Queue" = queue.Queue(maxsize=2)
+        self._error: list = []
+        self._thread = threading.Thread(target=self._drain, daemon=True)
+        self._thread.start()
+
+    def _drain(self):
         failed = False
         while True:
-            strip = strips.get()
+            strip = self._strips.get()
             if strip is None:
                 return
             if failed:
                 continue  # keep consuming so the producer's put() never blocks
             try:
-                writer.write_strip(strip)
-            except Exception as e:  # surface in the main thread
-                error.append(e)
+                self._writer.write_strip(strip)
+            except Exception as e:  # surface in the producer thread
+                self._error.append(e)
                 failed = True
 
-    t = threading.Thread(target=drain, daemon=True)
-    t.start()
+    def put(self, strip: np.ndarray) -> None:
+        if self._error:
+            raise self._error[0]
+        self._strips.put(strip)
 
-    def consume(band: int, strip: np.ndarray) -> None:
-        if error:
-            raise error[0]
-        strips.put(strip)
+    def _join(self):
+        self._strips.put(None)
+        self._thread.join()
 
-    try:
-        _run_band_pipeline(
-            dispatch, fetch, inputs_host, gy, consume, progress, prefetch
-        )
-        strips.put(None)
-        t.join()
-        if error:
-            raise error[0]
-        writer.close()
-    except BaseException:
-        strips.put(None)
-        t.join()
-        # no dangling handle AND no corrupt-but-plausible partial product
-        writer.abort()
-        raise
-    return f"{outfilepath}.tif"
+    def close(self) -> None:
+        self._join()
+        if self._error:
+            # the file is partial — the caller's except path calls abort()
+            raise self._error[0]
+        self._writer.close()
+
+    def abort(self) -> None:
+        self._join()
+        self._writer.abort()
 
 
 def save_continent_dem(
