@@ -49,7 +49,10 @@ def main() -> None:
     from deepbedmap_tpu.models import build_generator
 
     # variant sweeps for measurement sessions (defaults = the shipped config):
-    # TAIL_FUSED=0/1, PACK_TAPS=0/1, DTYPE=float32/bfloat16
+    # TAIL_FUSED=0/1, PACK_TAPS=0/1, DTYPE=float32/bfloat16, BATCH=n
+    # (tiles stacked per dispatch, reported PER TILE — mirrors the production
+    # continent path's tiles_per_dispatch)
+    batch = int(os.environ.get("BATCH", "1"))
     cfg = GeneratorConfig()
     cfg = GeneratorConfig(
         tail_fused=os.environ.get("TAIL_FUSED", "1" if cfg.tail_fused else "0") == "1",
@@ -58,6 +61,8 @@ def main() -> None:
         compute_dtype=os.environ.get("DTYPE", cfg.compute_dtype),
         rdb_mxu_bf16=os.environ.get(
             "RDB_BF16", "1" if cfg.rdb_mxu_bf16 else "0") == "1",
+        upsample_phase_conv=os.environ.get(
+            "PHASE_UP", "1" if cfg.upsample_phase_conv else "0") == "1",
     )
     model, params = build_generator(cfg, lr=11)
 
@@ -66,7 +71,7 @@ def main() -> None:
         return model.apply({"params": params}, x, w1, w2, w3)
 
     crop_lr = 288
-    inputs = build_tile_inputs(crop_lr)
+    inputs = build_tile_inputs(crop_lr, batch=batch)
 
     # Timing note: on this image's tunneled TPU backend block_until_ready()
     # does not reliably block, so each iteration is synchronised by forcing a
@@ -105,7 +110,9 @@ def main() -> None:
 
     iters = 9
     sync_overhead = timed(noop, (inputs[0],), iters)
-    per_tile = (timed(forward_many, (params,) + inputs, iters) - sync_overhead) / REPS
+    per_tile = (
+        timed(forward_many, (params,) + inputs, iters) - sync_overhead
+    ) / (REPS * batch)
     tiles_per_sec = 1.0 / max(per_tile, 1e-9)
 
     # honest MFU: analytic minimal FLOPs (utils/flops.py — Pallas kernels
@@ -113,7 +120,7 @@ def main() -> None:
     # not be credited) over the v5e 197 TFLOP/s bf16 peak
     from deepbedmap_tpu.utils.flops import generator_mfu
 
-    mfu = generator_mfu(per_tile, lr=crop_lr)
+    mfu = generator_mfu(per_tile, cfg, lr=crop_lr)
 
     result = {
         "metric": "sr_tiles_per_sec_per_chip",

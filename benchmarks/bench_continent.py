@@ -46,24 +46,29 @@ def main():
     assert (gy, gx) == (18, 22) and plan.num_tiles == 396
 
     # generator-variant sweeps without editing the script (r4 session):
-    # TAIL_FUSED=1, PACK_TAPS=1, DTYPE=bfloat16
+    # TAIL_FUSED=1, PACK_TAPS=1, DTYPE=bfloat16, TPD=2 (tiles per dispatch)
     cfg = GeneratorConfig(
         tail_fused=os.environ.get("TAIL_FUSED", "") == "1",
         tail_pack_taps=os.environ.get("PACK_TAPS", "") == "1",
         compute_dtype=os.environ.get("DTYPE", "float32"),
         rdb_mxu_bf16=os.environ.get("RDB_BF16", "") == "1",
+        upsample_phase_conv=os.environ.get("PHASE_UP", "") == "1",
     )
     print(json.dumps({"config": {
         "tail_fused": cfg.tail_fused, "tail_pack_taps": cfg.tail_pack_taps,
         "compute_dtype": cfg.compute_dtype,
-        "rdb_mxu_bf16": cfg.rdb_mxu_bf16}}), flush=True)
+        "rdb_mxu_bf16": cfg.rdb_mxu_bf16,
+        "upsample_phase_conv": cfg.upsample_phase_conv,
+        "tiles_per_dispatch": int(os.environ.get("TPD", "1"))}}), flush=True)
     model, params = build_generator(cfg, lr=11)
 
     def forward_fn(x, w1, w2, w3):
         return model.apply({"params": params}, x, w1, w2, w3)
 
+    tpd = int(os.environ.get("TPD", "1"))
     band_predict = _make_band_predictor(
-        forward_fn, plan, clip_conditioning=True, tile_loop=tile_loop
+        forward_fn, plan, clip_conditioning=True, tile_loop=tile_loop,
+        tiles_per_dispatch=tpd,
     )
 
     lh, lw = plan.lr_shape
@@ -91,7 +96,7 @@ def main():
             {
                 "metric": "band_predictor_first_call",
                 "value": round(time.perf_counter() - t0, 1),
-                "unit": f"s (compile+run, tile_loop={tile_loop})",
+                "unit": f"s (compile+run, tile_loop={tile_loop}, tpd={tpd})",
             }
         ),
         flush=True,

@@ -434,6 +434,7 @@ def cmd_continent(args) -> int:
         stream_product=args.stream,
         tile_loop=args.tile_loop,
         prefetch=args.prefetch,
+        tiles_per_dispatch=args.tiles_per_dispatch,
         overviews=args.overviews,
         predictor=args.predictor,
     )
@@ -681,6 +682,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--prefetch", type=int, default=1,
         help="bands dispatched ahead of the blocking fetch (next band's "
         "transfer overlaps compute; 0 = serial)",
+    )
+    c.add_argument(
+        "--tiles-per-dispatch", type=int, default=1,
+        help="tiles batched per forward on the single-device paths (2 "
+        "recovers ~6%% of per-tile time; device memory scales with it)",
     )
     c.add_argument(
         "--predictor", action="store_true",

@@ -138,6 +138,28 @@ def make_tile_forward(
     return tile_forward
 
 
+def make_tile_group_forward(
+    forward_fn: Callable[..., jax.Array], plan: TilePlan
+) -> Callable:
+    """Batched-tile path: crop B tiles, stack them on the BATCH dim, ONE
+    forward. Returns (padded_inputs, tys, txs) -> (B, tile_out, tile_out).
+    Batch-1 forwards leave the conv stages MXU-underfed at continent tile
+    shapes; batch 2 is a measured ~6% per-tile win (benchmarks/RESULTS.md,
+    bench_ablate_r4i_b{2,4}.log)."""
+
+    def group_forward(padded, tys, txs):
+        def crop1(ty, tx):
+            c = _crop_tile(padded, plan, ty, tx)
+            return {k: v[0] for k, v in c.items()}  # drop the N=1 dim
+
+        crops = jax.vmap(crop1)(tys, txs)  # each (B, H, W, C)
+        pred = forward_fn(crops["X"], crops["W1"], crops["W2"], crops["W3"])
+        d = plan.discard_hr
+        return pred[:, d : pred.shape[1] - d, d : pred.shape[2] - d, 0]
+
+    return group_forward
+
+
 def predict_region_tiled(
     forward_fn: Callable[..., jax.Array],
     inputs: Dict[str, jax.Array],

@@ -21,7 +21,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from deepbedmap_tpu.config import LossConfig, TrainConfig
-from deepbedmap_tpu.inference.engine import TilePlan, make_tile_forward, pad_inputs
+from deepbedmap_tpu.inference.engine import (
+    TilePlan,
+    make_tile_forward,
+    make_tile_group_forward,
+    pad_inputs,
+)
 from deepbedmap_tpu.models.discriminator import Discriminator
 from deepbedmap_tpu.models.generator import Generator
 from deepbedmap_tpu.parallel.mesh import batch_sharding, replicated
@@ -56,6 +61,7 @@ def sharded_predict_tiles(
     axis_name: str = "data",
     pad_mode: str = "edge",
     prepadded: bool = False,
+    tiles_per_dispatch: int = 1,
 ) -> jax.Array:
     """Predict all tiles of the plan, tile axis sharded over the mesh.
 
@@ -65,22 +71,49 @@ def sharded_predict_tiles(
     ``prepadded``: the inputs already carry the plan's pad_lr halo on every
     side (e.g. a continent row band whose vertical halo is REAL neighbour
     rows, inference.continent) — skip the edge padding here.
+
+    ``tiles_per_dispatch``: tiles batched per forward within each device's
+    scan (~6% per-tile MXU win at continent shapes, benchmarks/RESULTS.md).
+    The device-local tile count rounds UP to a multiple of it (duplicated
+    trailing tiles, recomputed and dropped) — only worth it when each device
+    holds several tiles (e.g. a 22-tile band on 1-4 devices), NOT when the
+    mesh already splits the band to 2-3 tiles per chip.
     """
+    if tiles_per_dispatch < 1:
+        raise ValueError(f"tiles_per_dispatch must be >= 1, got {tiles_per_dispatch}")
     n_dev = mesh.devices.size
     gy, gx = plan.grid
     num = plan.num_tiles
     num_padded = -(-num // n_dev) * n_dev
 
     tile_forward = make_tile_forward(forward_fn, plan)
+    B = tiles_per_dispatch
+    group_forward = make_tile_group_forward(forward_fn, plan) if B > 1 else None
 
     def predict(padded_inputs, tile_ids):
-        def body(_, t):
-            ty, tx = t // gx, t % gx
-            tile = tile_forward(padded_inputs, ty, tx)
-            return None, tile[0, :, :, 0]
+        if B == 1:  # keep the measured batch-1 graph unchanged
 
-        _, tiles = jax.lax.scan(body, None, tile_ids)
-        return tiles
+            def body(_, t):
+                ty, tx = t // gx, t % gx
+                tile = tile_forward(padded_inputs, ty, tx)
+                return None, tile[0, :, :, 0]
+
+            _, tiles = jax.lax.scan(body, None, tile_ids)
+            return tiles
+
+        n_local = tile_ids.shape[0]
+        n_groups = -(-n_local // B)
+        pad = n_groups * B - n_local
+        ids = tile_ids
+        if pad:  # duplicate the last id; recomputed, dropped by the slice
+            ids = jnp.concatenate([ids, jnp.tile(ids[-1:], pad)])
+        ids = ids.reshape(n_groups, B)
+
+        def body_group(_, tg):
+            return None, group_forward(padded_inputs, tg // gx, tg % gx)
+
+        _, tiles = jax.lax.scan(body_group, None, ids)  # (n_groups, B, T, T)
+        return tiles.reshape(n_groups * B, plan.tile_out, plan.tile_out)[:n_local]
 
     # shard_map (not plain GSPMD jit): a lax.scan is sequential, so the tile
     # loop must be split *before* tracing — each device scans only its shard.

@@ -66,6 +66,29 @@ def test_host_tile_loop_matches_scan(forward):
         predict_continent(forward, inputs, plan, tile_loop="bogus")
 
 
+def test_tiles_per_dispatch_matches_batch1(forward):
+    """Batched-tile forwards (tiles_per_dispatch>1 stacks tiles on the batch
+    dim — the measured ~6% per-tile MXU win, bench_ablate_r4i_b{2,4}.log)
+    must be numerically identical to the one-tile-per-forward loop, including
+    a remainder group (gx=3 with B=2 clamps the dangling index) and in both
+    tile_loop modes."""
+    plan = TilePlan(out_h=64, out_w=96, tile_out=32, halo_lr=3)  # gx=3
+    inputs = _host_inputs(plan, seed=7)
+    base = predict_continent(forward, inputs, plan, clip_conditioning=True)
+    for tile_loop in ("scan", "host"):
+        for b in (2, 3, 4):  # remainder, exact, group-larger-than-band
+            batched = predict_continent(
+                forward, inputs, plan, clip_conditioning=True,
+                tile_loop=tile_loop, tiles_per_dispatch=b,
+            )
+            np.testing.assert_allclose(
+                batched, base, rtol=1e-6, atol=1e-6,
+                err_msg=f"tile_loop={tile_loop} B={b}",
+            )
+    with pytest.raises(ValueError):
+        predict_continent(forward, inputs, plan, tiles_per_dispatch=0)
+
+
 def test_prefetch_depths_identical(forward):
     """The software-pipelined band loop (prefetch>0: next band's transfer in
     flight behind the current band's compute) must be bit-identical to the

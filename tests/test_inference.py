@@ -75,6 +75,27 @@ def test_sharded_tiles_match_single_device(forward):
     )
 
 
+def test_sharded_tiles_per_dispatch_matches_batch1(forward):
+    """Batched-tile forwards inside each device's scan (tiles_per_dispatch>1,
+    the measured ~6% MXU win — benchmarks/RESULTS.md) must match the
+    one-tile-per-step path exactly, including device-local group padding
+    (6 tiles grid over a 2-device mesh: 3 tiles/device, B=2 pads to 4)."""
+    plan = TilePlan(out_h=64, out_w=96, tile_out=32, halo_lr=4)  # 2x3 grid
+    inputs = _region_inputs(plan, seed=5)
+    mesh = make_mesh(2)
+    base = sharded_predict_tiles(forward, inputs, plan, mesh)
+    for b in (2, 3):
+        batched = sharded_predict_tiles(
+            forward, inputs, plan, mesh, tiles_per_dispatch=b
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched), np.asarray(base), rtol=1e-6, atol=1e-6,
+            err_msg=f"B={b}",
+        )
+    with pytest.raises(ValueError):
+        sharded_predict_tiles(forward, inputs, plan, mesh, tiles_per_dispatch=0)
+
+
 def test_sharded_uneven_tiles(forward):
     # 6 tiles over 8 devices: padding tiles must be computed and dropped
     plan = TilePlan(out_h=32, out_w=96, tile_out=32, halo_lr=2)
