@@ -195,7 +195,8 @@ class DeepBedMap:
         rows_per_strip: Optional[int] = None,
         overviews: int = 0,
         predictor: bool = False,
-        tiles_per_dispatch: int = 1,
+        tiles_per_dispatch: int = 2,
+        multihost: bool = False,
     ) -> Optional[Raster]:
         """Band-streamed whole-region prediction; optionally writes the int16
         LZW GeoTIFF product. Inputs follow the reference NCHW contract,
@@ -222,7 +223,12 @@ class DeepBedMap:
         (stream_product; data-dependent — see the writer docstring).
         ``tiles_per_dispatch``: tiles batched per forward on the
         single-device paths (2 recovers ~6% of per-tile time by feeding the
-        MXU a real batch — inference.continent._make_band_predictor)."""
+        MXU a real batch — inference.continent._make_band_predictor).
+        ``multihost``: distribute row BANDS across jax processes (a pod —
+        inference.multihost; call parallel.distributed.initialize first).
+        ``mesh`` must then be process-LOCAL (tiles shard over local chips);
+        the Raster/product is returned on process 0 and None elsewhere.
+        P == 1 degenerates to the single-host path."""
         from deepbedmap_tpu.inference import (
             TilePlan,
             predict_continent,
@@ -246,6 +252,30 @@ class DeepBedMap:
                 "pass stream_product=True (the buffered save_continent_dem "
                 "path writes a plain single-page tiled GeoTIFF)"
             )
+        if multihost:
+            from deepbedmap_tpu.inference.multihost import (
+                predict_continent_multihost,
+                predict_continent_multihost_to_geotiff,
+            )
+
+            if stream_product:
+                assert outfilepath is not None, "stream_product needs outfilepath"
+                predict_continent_multihost_to_geotiff(
+                    self.forward_fn(), host_inputs, plan, bounds, outfilepath,
+                    mesh=mesh, rows_per_strip=rows_per_strip,
+                    overviews=overviews, predictor=predictor,
+                    tile_loop=tile_loop,
+                )
+                return None
+            canvas = predict_continent_multihost(
+                self.forward_fn(), host_inputs, plan, mesh=mesh,
+                tile_loop=tile_loop,
+            )
+            if canvas is None:  # not process 0
+                return None
+            if outfilepath is not None:
+                save_continent_dem(canvas, bounds, outfilepath)
+            return Raster(canvas, left=xmin, top=ymax, res=self.resolution)
         if stream_product:
             assert outfilepath is not None, "stream_product needs outfilepath"
             predict_continent_to_geotiff(

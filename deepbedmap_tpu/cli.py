@@ -406,6 +406,17 @@ def cmd_continent(args) -> int:
     from deepbedmap_tpu.api import DeepBedMap
     from deepbedmap_tpu.config import GeneratorConfig
 
+    if args.multihost:
+        # pod mode: one process per host; coordinator/process args
+        # auto-detect on Cloud TPU when omitted
+        from deepbedmap_tpu.parallel.distributed import initialize
+
+        initialize(
+            args.coordinator or None,
+            args.num_processes or None,
+            args.process_id if args.process_id >= 0 else None,
+        )
+
     cfg = GeneratorConfig(num_residual_blocks=args.blocks)
     if args.checkpoint:
         dbm = DeepBedMap.from_checkpoint(args.checkpoint, cfg)
@@ -421,9 +432,17 @@ def cmd_continent(args) -> int:
     bounds = tuple(float(v) for v in args.bounds.split(","))
     mesh = None
     if args.mesh_devices:
-        from deepbedmap_tpu.parallel import make_mesh
+        import jax
+        from jax.sharding import Mesh
 
-        mesh = make_mesh(args.mesh_devices)
+        if args.multihost:  # tiles shard over the process-LOCAL chips
+            mesh = Mesh(
+                np.asarray(jax.local_devices()[: args.mesh_devices]), ("data",)
+            )
+        else:
+            from deepbedmap_tpu.parallel import make_mesh
+
+            mesh = make_mesh(args.mesh_devices)
     dbm.predict_continent(
         inputs,
         bounds,
@@ -437,16 +456,21 @@ def cmd_continent(args) -> int:
         tiles_per_dispatch=args.tiles_per_dispatch,
         overviews=args.overviews,
         predictor=args.predictor,
+        multihost=args.multihost,
     )
-    _emit(
-        {
-            "command": "continent",
-            "bounds": list(bounds),
-            "out": args.out + ".tif",
-            "sharded": mesh is not None,
-            "streamed": bool(args.stream),
-        }
-    )
+    import jax as _jax
+
+    if not args.multihost or _jax.process_index() == 0:
+        _emit(
+            {
+                "command": "continent",
+                "bounds": list(bounds),
+                "out": args.out + ".tif",
+                "sharded": mesh is not None,
+                "streamed": bool(args.stream),
+                "processes": _jax.process_count() if args.multihost else 1,
+            }
+        )
     return 0
 
 
@@ -684,7 +708,16 @@ def build_parser() -> argparse.ArgumentParser:
         "transfer overlaps compute; 0 = serial)",
     )
     c.add_argument(
-        "--tiles-per-dispatch", type=int, default=1,
+        "--multihost", action="store_true",
+        help="pod mode: distribute row bands across jax processes "
+        "(inference.multihost); run one process per host, product written "
+        "by process 0. --mesh-devices then counts LOCAL chips per host",
+    )
+    c.add_argument("--coordinator", default="", help="coordinator host:port (pod)")
+    c.add_argument("--num-processes", type=int, default=0, help="pod process count")
+    c.add_argument("--process-id", type=int, default=-1, help="this process's id")
+    c.add_argument(
+        "--tiles-per-dispatch", type=int, default=2,
         help="tiles batched per forward on the single-device paths (2 "
         "recovers ~6%% of per-tile time; device memory scales with it)",
     )

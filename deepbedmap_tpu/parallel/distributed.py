@@ -30,6 +30,11 @@ def initialize(
     except RuntimeError as exc:
         if "already initialized" not in str(exc):
             raise
+    except ValueError as exc:
+        # no coordinator given and none auto-detected (not on a managed pod):
+        # a single-process run — the documented no-op
+        if coordinator_address is not None or "coordinator_address" not in str(exc):
+            raise
 
 
 def is_primary() -> bool:

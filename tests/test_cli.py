@@ -138,6 +138,40 @@ def test_cli_continent_streamed(capsys, tmp_path):
     assert meta["res"] == 250.0 and meta["crs_epsg"] == 3031
 
 
+def test_cli_continent_multihost_single_process(capsys, tmp_path):
+    """--multihost with P == 1 degenerates to the single-host path through
+    the full CLI surface (initialize is a no-op single-process; the pod
+    behaviour itself is covered by tests/test_multihost.py)."""
+    rs = np.random.RandomState(3)
+    lh, lw = 16, 24
+    inputs_dir = tmp_path / "inputs"
+    inputs_dir.mkdir()
+    np.save(inputs_dir / "X.npy", rs.rand(1, 1, lh, lw).astype(np.float32))
+    np.save(inputs_dir / "W1.npy", rs.rand(1, 1, 10 * lh, 10 * lw).astype(np.float32))
+    np.save(inputs_dir / "W2.npy", rs.rand(1, 2, 2 * lh, 2 * lw).astype(np.float32))
+    np.save(inputs_dir / "W3.npy", rs.rand(1, 1, lh, lw).astype(np.float32))
+    out = str(tmp_path / "dem_mh")
+    rc, res = run_cli(
+        capsys,
+        [
+            "continent",
+            "--inputs", str(inputs_dir),
+            "--bounds", "0,0,24000,16000",
+            "-o", out,
+            "--blocks", "1",
+            "--tile-out", "32",
+            "--halo-lr", "2",
+            "--stream",
+            "--multihost",
+        ],
+    )
+    assert rc == 0 and res["streamed"] and res["processes"] == 1
+    from deepbedmap_tpu.data.geotiff import read_geotiff
+
+    arr, meta = read_geotiff(out + ".tif")
+    assert arr.shape == (64, 96) and meta["crs_epsg"] == 3031
+
+
 @pytest.mark.slow
 def test_cli_hpo_tiny(capsys, tmp_path):
     """hpo subcommand end-to-end: 2 trials over the tiny space with sqlite

@@ -46,6 +46,39 @@ def test_two_process_pod_runs_full_contract(tmp_path):
     assert (tmp_path / "mh_dem.tif").exists()
 
 
+def test_api_multihost_single_process(tmp_path):
+    """DeepBedMap.predict_continent(multihost=True) at P == 1: same Raster
+    as the single-host path, and the streamed product round-trips."""
+    from deepbedmap_tpu.api import DeepBedMap
+    from deepbedmap_tpu.config import GeneratorConfig
+    from deepbedmap_tpu.data.geotiff import read_geotiff
+
+    rs = np.random.RandomState(4)
+    lh, lw = 16, 24
+    inputs = {
+        "X": rs.rand(1, 1, lh, lw).astype(np.float32),
+        "W1": rs.rand(1, 1, 10 * lh, 10 * lw).astype(np.float32),
+        "W2": rs.rand(1, 2, 2 * lh, 2 * lw).astype(np.float32),
+        "W3": rs.rand(1, 1, lh, lw).astype(np.float32),
+    }
+    bounds = (0.0, 0.0, 24_000.0, 16_000.0)
+    dbm = DeepBedMap(cfg=GeneratorConfig(num_residual_blocks=1))
+    single = dbm.predict_continent(inputs, bounds, tile_out=32, halo_lr=2)
+    pod = dbm.predict_continent(
+        inputs, bounds, tile_out=32, halo_lr=2, multihost=True
+    )
+    np.testing.assert_allclose(pod.data, single.data, rtol=1e-5, atol=1e-6)
+
+    out = str(tmp_path / "api_mh")
+    ret = dbm.predict_continent(
+        inputs, bounds, outfilepath=out, tile_out=32, halo_lr=2,
+        multihost=True, stream_product=True,
+    )
+    assert ret is None
+    arr, meta = read_geotiff(out + ".tif")
+    assert arr.shape == (64, 96) and meta["crs_epsg"] == 3031
+
+
 def test_single_process_degenerates_to_local(rng=np.random.RandomState(2)):
     """P == 1 (no distributed init): multihost == the plain band engine,
     canvas returned, every band 'owned' by process 0 — the same code path
