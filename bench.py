@@ -52,7 +52,7 @@ def main() -> None:
     # TAIL_FUSED=0/1, PACK_TAPS=0/1, DTYPE=float32/bfloat16, BATCH=n
     # (tiles stacked per dispatch, reported PER TILE — mirrors the production
     # continent path's tiles_per_dispatch)
-    batch = int(os.environ.get("BATCH", "1"))
+    batch = int(os.environ.get("BATCH", "2"))
     cfg = GeneratorConfig()
     cfg = GeneratorConfig(
         tail_fused=os.environ.get("TAIL_FUSED", "1" if cfg.tail_fused else "0") == "1",

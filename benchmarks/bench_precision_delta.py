@@ -57,7 +57,10 @@ def main():
         f"no checkpoint at {ckpt} — run benchmarks/train_quality_run.py first"
     )
 
-    g_cfg = GeneratorConfig()
+    # the fp32 BASELINE pins every precision lever off explicitly — the
+    # production defaults moved during round 4 (rdb_mxu_bf16 now on), and
+    # the deltas below are defined against the pure-fp32 kernel
+    g_cfg = GeneratorConfig(rdb_mxu_bf16=False)
     state = restore_checkpoint(ckpt, create_gan_state(g_cfg, t_cfg=TrainConfig()))
     params = state.g_params
 

@@ -60,9 +60,13 @@ class GeneratorConfig:
     # 0.0 on TPU at the dispatching shape — Mosaic's fp32 jnp.dot already
     # truncates multiplicands to bf16 single-pass, so this flag only halves
     # the operand bytes streamed to the MXU (−12.3 ms with the unfused
-    # tail; 0.6–1.5 ms, noise-edge, with the default fused tail). No
-    # quality cost, ever; opt-in because the default geometry gains ~nothing.
-    rdb_mxu_bf16: bool = False
+    # tail; 0.6–1.5 ms with the fused tail at batch 1). DEFAULT ON since
+    # round 4: under the production batched dispatch (tiles_per_dispatch=2)
+    # it is worth another ~0.9 s on the continent (41.0 -> 40.1 s,
+    # bench_continent_r4j_tpd2_bf16.log) at zero quality cost (bit-exact,
+    # bench_precision_delta.log). Inert off-TPU (the kernel only dispatches
+    # at TPU inference scale).
+    rdb_mxu_bf16: bool = True
     # Fused 3x3-conv Pallas kernel (ops.pallas_conv) for the generator's
     # plain conv stages — pre/post-residual and both post-upsample convs —
     # with their LeakyReLU / long-skip epilogues fused into the kernel
@@ -76,9 +80,12 @@ class GeneratorConfig:
     # the effective precision of the XLA convs this kernel replaces.
     conv_mxu_bf16: bool = False
     # Deformable-conv offset clamp in px (masked-shift span). Chainer's
-    # sampler is unbounded; learned offsets stay well inside +/-1 px, so
-    # clamp=1 halves the sampler cost with identical outputs on trained
-    # models — validate on your checkpoint before switching from 2.
+    # sampler is unbounded; clamp=1 shrinks the sampler cost WHEN the
+    # learned offsets stay inside +/-1 px. MEASURED on the rough-task
+    # quality-run checkpoint (bench_precision_delta_r4k.log): they do NOT —
+    # clamp=1 diverges by up to 986 m (RMSE delta 326 m), so it is a
+    # per-checkpoint optimisation, NOT a safe default. Validate with
+    # benchmarks/bench_precision_delta.py (clamp1 row) before switching.
     deform_clamp: int = 2
     # Channels-before-width (N, H, C, W) layout through the generator tail
     # (2nd upsample conv -> both deform layers): the deform row tiler then

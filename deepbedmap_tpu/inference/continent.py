@@ -247,7 +247,7 @@ def predict_continent(
     progress: Optional[Callable[[int, int], None]] = None,
     tile_loop: str = "scan",
     prefetch: int = 1,
-    tiles_per_dispatch: int = 1,
+    tiles_per_dispatch: int = 2,
 ) -> np.ndarray:
     """Predict the full (out_h, out_w) DEM band by band; returns the host
     canvas (float32). ``tile_loop='host'`` trades one dispatch per band for a
@@ -417,7 +417,7 @@ def predict_continent_to_geotiff(
     prefetch: int = 1,
     overviews: int = 0,
     predictor: bool = False,
-    tiles_per_dispatch: int = 1,
+    tiles_per_dispatch: int = 2,
 ) -> str:
     """Band-streamed inference piped straight into the int16 LZW GeoTIFF —
     a writer thread LZW-encodes and writes band strip i while the device

@@ -74,7 +74,9 @@ def test_tiles_per_dispatch_matches_batch1(forward):
     tile_loop modes."""
     plan = TilePlan(out_h=64, out_w=96, tile_out=32, halo_lr=3)  # gx=3
     inputs = _host_inputs(plan, seed=7)
-    base = predict_continent(forward, inputs, plan, clip_conditioning=True)
+    base = predict_continent(
+        forward, inputs, plan, clip_conditioning=True, tiles_per_dispatch=1
+    )
     for tile_loop in ("scan", "host"):
         for b in (2, 3, 4):  # remainder, exact, group-larger-than-band
             batched = predict_continent(
