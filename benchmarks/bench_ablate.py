@@ -206,6 +206,11 @@ def main():
         "phase_up_rdb_bf16mxu": GeneratorConfig(
             upsample_phase_conv=True, rdb_mxu_bf16=True
         ),
+        # flat-resident trunk: one flatten before the RRDB scan, all 36 RDB
+        # launches flat -> flat with in-kernel DMA windows (no per-launch XLA
+        # gather glue), one unflatten after; vs 'full' = the trunk-glue delta
+        # (round-4 attribution priced it ~20 ms at batch 2)
+        "rdb_resident": GeneratorConfig(rdb_resident="auto"),
         # deform offset clamp 1 px (vs default 2): smaller masked-shift span
         # in both deform kernels; valid whenever the checkpoint's offsets
         # stay within +/-1 px (bench_precision_delta.py validates that)

@@ -1,0 +1,184 @@
+"""Flat-resident RDB chain bring-up + benchmark on the real TPU.
+
+Targets the round-4 attribution gap (benchmarks/RESULTS.md): the in-model
+trunk costs 47.3 ms/tile at batch 2 vs the standalone kernel's 27.1 — the
+difference is per-launch NHWC -> row-band marshalling XLA cannot fuse into
+the custom call. The resident path (ops.pallas_rdb.rdb_pallas_flat) keeps
+the flat row-band layout in HBM across the whole chain, so the glue is paid
+once per forward.
+
+Stages (each prints immediately so a wedged compile is visible in the log):
+  1. flagship-shape compile + numerics: flat kernel vs banded kernel vs XLA
+  2. trunk timing at the production point (batch 2, mxu_bf16): 12-RRDB scan
+     of banded launches (with per-launch glue) vs flatten + resident scan +
+     unflatten
+
+Run detached (a hung Mosaic compile wedges the tunnel; never timeout-kill):
+  setsid nohup python benchmarks/bench_rdb_resident.py > /tmp/bench_rdb_resident.log 2>&1 &
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+from deepbedmap_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+if os.environ.get("CPU") == "1":  # harness smoke test
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from deepbedmap_tpu.ops.pallas_rdb import (
+    flatten_rdb,
+    rdb_pallas,
+    rdb_pallas_flat,
+    rdb_reference,
+    unflatten_rdb,
+)
+
+BATCH = int(os.environ.get("BATCH", "2"))
+LAT = int(os.environ.get("LAT", "286"))
+MXU_BF16 = os.environ.get("MXU_BF16", "1") == "1"
+ITERS = int(os.environ.get("ITERS", "10"))
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def make_params(rs, n_sets, F=64, G=32):
+    sets = []
+    for _ in range(n_sets):
+        kernels, biases = [], []
+        for ci, co in zip([F, F + G, F + 2 * G, F + 3 * G, F + 4 * G],
+                          [G, G, G, G, F]):
+            kernels.append(
+                jnp.asarray(rs.randn(3, 3, ci, co).astype(np.float32) * 0.05)
+            )
+            biases.append(jnp.asarray(rs.randn(co).astype(np.float32) * 0.1))
+        sets.append((kernels, biases))
+    return sets
+
+
+def sync(x):
+    return float(jnp.sum(x))
+
+
+def bench(fn, *args, iters=ITERS):
+    fn(*args)  # warm/compile
+    sync(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        sync(fn(*args))
+    dt = (time.perf_counter() - t0) / iters
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        sync(args[0][:1, :1])
+    rtt = (time.perf_counter() - t0) / iters
+    return (dt - rtt) * 1e3
+
+
+log(f"devices: {jax.devices()}  batch={BATCH} lat={LAT} mxu_bf16={MXU_BF16}")
+rs = np.random.RandomState(0)
+(kernels, biases), = make_params(rs, 1)
+x = jnp.asarray(rs.randn(BATCH, LAT, LAT, 64).astype(np.float32))
+
+# --- stage 1: numerics at the flagship shape ---
+log(f"stage 1: compiling flat kernel at {x.shape}...")
+flat_fn = jax.jit(
+    lambda f: rdb_pallas_flat(
+        f, kernels, biases, 0.2, h=LAT, w=LAT, mxu_bf16=MXU_BF16
+    )
+)
+flat_in = jax.jit(flatten_rdb)(x)
+got_flat = unflatten_rdb(flat_fn(flat_in), LAT, LAT)
+log("stage 1: compiling banded kernel...")
+banded_fn = jax.jit(
+    lambda a: rdb_pallas(a, kernels, biases, 0.2, mxu_bf16=MXU_BF16)
+)
+got_banded = banded_fn(x)
+ref = jax.jit(lambda a: rdb_reference(a, kernels, biases, 0.2))(x)
+err_vs_banded = float(jnp.abs(got_flat - got_banded).max())
+err_vs_xla = float(jnp.abs(got_flat - ref).max())
+rel = err_vs_xla / float(jnp.abs(ref).max())
+log(
+    f"stage 1 numerics: flat-vs-banded max abs {err_vs_banded:.3e}, "
+    f"flat-vs-xla max abs {err_vs_xla:.3e} (rel {rel:.3e})"
+)
+assert err_vs_banded == 0.0 or err_vs_banded < 1e-5, err_vs_banded
+# bf16 multiplicands carry ~4e-3 relative rounding vs the fp32 XLA oracle;
+# the hard gate is flat == banded (identical decomposition)
+assert rel < (1e-2 if MXU_BF16 else 1e-3), (err_vs_xla, rel)
+
+# --- stage 2: 12-RRDB trunk at the production point ---
+# The in-model trunk is nn.scan over 12 RRDBs, each 3 chained RDBs + a
+# scaled skip; mirror that exactly so launch-boundary glue is represented
+# the way XLA sees it in the real generator.
+
+t_single_banded = bench(banded_fn, x)
+t_single_flat = bench(flat_fn, flat_in)
+log(
+    f"single RDB @{LAT}^2 x{BATCH}: banded {t_single_banded:.2f} ms   "
+    f"flat {t_single_flat:.2f} ms"
+)
+
+
+def trunk_banded(a):
+    def body(c, _):
+        r = c
+        for _i in range(3):
+            r = rdb_pallas(r, kernels, biases, 0.2, mxu_bf16=MXU_BF16)
+        return c + 0.2 * r, None
+
+    out, _ = lax.scan(body, a, None, length=12)
+    return out
+
+
+def trunk_resident(a):
+    f = flatten_rdb(a)
+
+    def body(c, _):
+        r = c
+        for _i in range(3):
+            r = rdb_pallas_flat(
+                r, kernels, biases, 0.2, h=LAT, w=LAT, mxu_bf16=MXU_BF16
+            )
+        return c + 0.2 * r, None
+
+    out, _ = lax.scan(body, f, None, length=12)
+    return unflatten_rdb(out, LAT, LAT)
+
+
+log("stage 2: compiling banded 12-RRDB trunk (~2-6 min)...")
+tb = bench(jax.jit(trunk_banded), x, iters=5)
+log(f"banded trunk: {tb:.1f} ms ({tb / BATCH:.1f} ms/tile)")
+log("stage 2: compiling resident 12-RRDB trunk (~2-6 min)...")
+tr = bench(jax.jit(trunk_resident), x, iters=5)
+log(f"resident trunk: {tr:.1f} ms ({tr / BATCH:.1f} ms/tile)")
+log(
+    f"resident delta: {tb - tr:+.1f} ms total, "
+    f"{(tb - tr) / BATCH:+.1f} ms/tile ({tb / tr:.2f}x)"
+)
+
+# parity of the full trunks. NOTE: with random weights the 36-launch chain
+# grows ~1.5x per RRDB (max|out| ~400 by block 12), so compile-level
+# rounding between two DIFFERENT jit programs amplifies exponentially; the
+# meaningful number is relative. Executed launch-by-launch the two paths
+# are BIT-exact (verified: 36 chained launches, diff 0.0 at every step).
+oa = jax.jit(trunk_banded)(x)
+ob = jax.jit(trunk_resident)(x)
+d = float(jnp.abs(oa - ob).max())
+scale = float(jnp.abs(oa).max())
+log(
+    f"trunk parity banded-vs-resident: max abs {d:.3e} "
+    f"(max|out| {scale:.1f}, rel {d / scale:.3e})"
+)
+log("DONE")

@@ -67,6 +67,18 @@ class GeneratorConfig:
     # bench_precision_delta.log). Inert off-TPU (the kernel only dispatches
     # at TPU inference scale).
     rdb_mxu_bf16: bool = True
+    # Flat-resident trunk: flatten to the RDB kernel's padded row-band layout
+    # ONCE before the RRDB scan, run all 36 fused-RDB launches flat -> flat
+    # (band windows DMA'd inside the kernel, outputs masked back into the
+    # resident buffer), unflatten once after. Targets the round-4 attribution
+    # gap — in-model trunk 47.3 ms vs the standalone kernel's 27.1 at batch 2
+    # (bench_ablate_r4m_b2attr.log): ~20 ms/forward of per-launch pad ->
+    # overlapping-gather -> unpad glue XLA cannot fuse into the custom call.
+    # 'auto' dispatches exactly where the fused RDB kernel would (TPU,
+    # inference-scale, fp32); 'never' keeps the per-launch gather path;
+    # 'always' forces it (tests / interpret mode). Default 'never' until
+    # measured on TPU.
+    rdb_resident: str = "never"
     # Fused 3x3-conv Pallas kernel (ops.pallas_conv) for the generator's
     # plain conv stages — pre/post-residual and both post-upsample convs —
     # with their LeakyReLU / long-skip epilogues fused into the kernel

@@ -127,10 +127,19 @@ class ResidualDenseBlock(nn.Module):
     # bf16 dot multiplicands inside the fused kernel (fp32 accumulation —
     # XLA's default conv precision for fp32 data); config.rdb_mxu_bf16
     mxu_bf16: bool = False
+    # flat-resident trunk mode (ops.pallas_rdb.rdb_fused_flat): when set to
+    # the (H, W) of the unflattened image, ``x`` is the (N, R, F) flat
+    # row-band layout and the block maps flat -> flat with zero XLA
+    # marshalling. The caller owns flatten/unflatten and the dispatch policy.
+    resident_hw: tuple | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from deepbedmap_tpu.ops.pallas_rdb import rdb_fused, should_fuse
+        from deepbedmap_tpu.ops.pallas_rdb import (
+            rdb_fused,
+            rdb_fused_flat,
+            should_fuse,
+        )
 
         f, g = self.features, self.growth
         c_ins = (f, f + g, f + 2 * g, f + 3 * g, f + 4 * g)
@@ -142,6 +151,13 @@ class ResidualDenseBlock(nn.Module):
             )()
             kernels.append(k)
             biases.append(b)
+
+        if self.resident_hw is not None:
+            h, w = self.resident_hw
+            return rdb_fused_flat(
+                x.astype(jnp.float32), kernels, biases,
+                self.residual_scaling, h, w, 32, self.mxu_bf16,
+            )
 
         # 'always' bypasses the backend/size policy but the row-pitch
         # constraint is structural: the flattened layout needs (W+2) % 8 == 0
@@ -196,6 +212,7 @@ class ResInResDenseBlock(nn.Module):
     dtype: Any = None
     fused: str = "auto"
     mxu_bf16: bool = False
+    resident_hw: tuple | None = None  # flat-resident mode (see ResidualDenseBlock)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -209,8 +226,11 @@ class ResInResDenseBlock(nn.Module):
                 self.dtype,
                 fused=self.fused,
                 mxu_bf16=self.mxu_bf16,
+                resident_hw=self.resident_hw,
                 name=f"residual_dense_block{i}",
             )(a)
+        # in resident mode this skip is elementwise on flat buffers whose
+        # margins are zero on both sides, so the invariant is preserved
         return x + self.residual_scaling * a
 
 

@@ -30,6 +30,7 @@ from deepbedmap_tpu.models.blocks import (
     he_normal_chainer,
     leaky_relu,
 )
+from deepbedmap_tpu.ops.pallas_rdb import flatten_rdb, should_fuse, unflatten_rdb
 from deepbedmap_tpu.ops.pallas_tail import fused_deform_tail
 from deepbedmap_tpu.ops.phase_conv import upsample2_conv3x3
 from deepbedmap_tpu.ops.resize import nearest_upsample
@@ -85,6 +86,7 @@ class _RRDBStep(nn.Module):
     dtype: Any = None
     fused: str = "auto"
     mxu_bf16: bool = False
+    resident_hw: tuple | None = None
 
     @nn.compact
     def __call__(self, carry, _):
@@ -96,6 +98,7 @@ class _RRDBStep(nn.Module):
             self.dtype,
             fused=self.fused,
             mxu_bf16=self.mxu_bf16,
+            resident_hw=self.resident_hw,
             name="block",
         )(carry)
         return out, None
@@ -134,7 +137,18 @@ class Generator(nn.Module):
 
         # 2: RRDB trunk as a scan (reference repeats the block class N times,
         # srgan_train.py:475-477); optionally remat each block for training
-        # memory (activation footprint becomes O(1) in depth)
+        # memory (activation footprint becomes O(1) in depth).
+        # rdb_resident: flatten ONCE to the kernel's row-band layout, run all
+        # 36 RDB launches flat -> flat (in-kernel DMA, no per-launch XLA
+        # gather glue), unflatten once after the scan (ops.pallas_rdb).
+        resident = cfg.rdb_resident == "always" or (
+            cfg.rdb_resident == "auto"
+            and cfg.fused_rdb != "never"
+            and dtype is None
+            and should_fuse(a1.shape)
+        )
+        h_lat, w_lat = a1.shape[1], a1.shape[2]
+        t_in = flatten_rdb(a1) if resident else a1
         step = nn.remat(_RRDBStep) if cfg.remat else _RRDBStep
         trunk = nn.scan(
             step,
@@ -149,9 +163,11 @@ class Generator(nn.Module):
             dtype,
             cfg.fused_rdb,
             cfg.rdb_mxu_bf16,
+            (h_lat, w_lat) if resident else None,
             name="residual_network",
         )
-        a2, _ = trunk(a1, None)
+        t_out, _ = trunk(t_in, None)
+        a2 = unflatten_rdb(t_out, h_lat, w_lat) if resident else t_out
 
         # 3: post-residual conv + long skip (fused into the conv epilogue)
         a3 = conv64("post_residual_conv_layer")(a2, residual=a1)

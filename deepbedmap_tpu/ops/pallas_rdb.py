@@ -90,19 +90,19 @@ def _pack_weights(
     return packed
 
 
-def _rdb_kernel(
-    x_ref,  # (1, E, F) VMEM — band rows, flattened (rows*Wp, F), with margins
+def _band_compute(
+    x,  # (E, F) VMEM value — band rows, flattened (rows*Wp, F), with margins
     wx_ref,  # (3, 3F, F+4G)
     w1_ref,  # (3, 3G, F+3G)
     w2_ref,  # (3, 3G, F+2G)
     w3_ref,  # (3, 3G, F+G)
     w4_ref,  # (3, 3G, F)
     b_ref,  # (1, F+4G) — [b1|b2|b3|b4|b5]
-    out_ref,  # (1, B*Wp, F)
     accx_ref,  # (E, F+4G) scratch
     acc1_ref,  # (E, F+3G) scratch
     acc2_ref,  # (E, F+2G) scratch
     acc3_ref,  # (E, F+G) scratch
+    row0,  # global image row of window row 0 (may be a traced scalar)
     *,
     band: int,  # B: output image rows per band
     wp: int,  # padded row pitch (W + 2), multiple of 8
@@ -113,10 +113,14 @@ def _rdb_kernel(
     scaling: float,
     pack_dys: bool = False,
     mxu_bf16: bool = False,
+    mask_out: bool = False,  # zero pad cols / out-of-image rows in the result
 ):
+    """The dense-block math on one VMEM-resident band window. Returns the
+    (band*wp, F) output rows. ``mask_out=True`` zeroes pad columns and
+    out-of-image rows so the result can live in a resident flat buffer whose
+    next consumer reads it as pre-padded input (``rdb_pallas_flat``)."""
     F, G = features, growth
-    E = x_ref.shape[1]
-    pid = pl.program_id(0)
+    E = x.shape[0]
     # mxu_bf16: dot MULTIPLICANDS in bf16, accumulation fp32 — exactly
     # XLA's default precision for fp32 convs on TPU. Weights arrive
     # pre-cast (w refs are bf16); activations cast at the dot edge, while
@@ -127,7 +131,7 @@ def _rdb_kernel(
     # SAME-conv zero padding for every intermediate activation, and it
     # absorbs the circular wrap of the sublane rolls below)
     flat = jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0)
-    row_g = pid * band - _MARGIN + flat // wp
+    row_g = row0 + flat // wp
     col = flat % wp
     mask = (
         (row_g >= 0) & (row_g < height) & (col >= 1) & (col <= width)
@@ -173,7 +177,6 @@ def _rdb_kernel(
         p = jnp.dot(src3, w_ref_[2], preferred_element_type=jnp.float32)
         acc_ref[: E - wp, :] += p[wp:]
 
-    x = x_ref[0]
     accumulate(accx_ref, s3(x), wx_ref)
 
     # jnp.where (not multiply): margin rows outside a source's written
@@ -236,7 +239,46 @@ def _rdb_kernel(
             s3a4[lo + wp : hi + wp], w4_ref[2], preferred_element_type=jnp.float32
         )
 
-    out_ref[0] = x[lo:hi] + scaling * a5
+    out = x[lo:hi] + scaling * a5
+    if mask_out:
+        out = jnp.where(mask[lo:hi] > 0, out, 0.0)
+    return out
+
+
+def _rdb_kernel(
+    x_ref,  # (1, E, F) VMEM — band rows with margins (pre-gathered blocks)
+    wx_ref,
+    w1_ref,
+    w2_ref,
+    w3_ref,
+    w4_ref,
+    b_ref,
+    out_ref,  # (1, B*Wp, F)
+    accx_ref,
+    acc1_ref,
+    acc2_ref,
+    acc3_ref,
+    *,
+    band: int,
+    wp: int,
+    height: int,
+    width: int,
+    features: int,
+    growth: int,
+    scaling: float,
+    pack_dys: bool = False,
+    mxu_bf16: bool = False,
+):
+    pid = pl.program_id(0)
+    out_ref[0] = _band_compute(
+        x_ref[0],
+        wx_ref, w1_ref, w2_ref, w3_ref, w4_ref, b_ref,
+        accx_ref, acc1_ref, acc2_ref, acc3_ref,
+        pid * band - _MARGIN,
+        band=band, wp=wp, height=height, width=width,
+        features=features, growth=growth, scaling=scaling,
+        pack_dys=pack_dys, mxu_bf16=mxu_bf16,
+    )
 
 
 def rdb_reference(x, kernels, biases, scaling):
@@ -372,3 +414,249 @@ def rdb_pallas(
         return out.reshape(hp, wp, f)[:h, 1 : w + 1]
 
     return jax.vmap(one)(x)
+
+
+# ---------------------------------------------------------------------------
+# Flat-resident trunk path: the row-band layout stays in HBM across the whole
+# RDB chain (36 launches per forward), so the per-launch pad -> overlapping
+# band gather -> unpad glue — measured at ~20 ms of the 96 ms continent-tile
+# forward (benchmarks/RESULTS.md round-4 attribution: in-model trunk 47.3 ms
+# vs the standalone kernel's 27.1) — is paid ONCE per forward instead of 36
+# times. Each kernel launch reads its overlapping band windows straight out
+# of the flat HBM buffer with double-buffered DMAs and writes the band rows
+# back (pad columns / out-of-image rows masked to zero), so the output IS a
+# valid pre-padded input for the next launch. Residual adds between blocks
+# (RRDB skips) are plain elementwise XLA ops on the flat buffers.
+# ---------------------------------------------------------------------------
+
+
+def flatten_rdb(x: jax.Array, band: int = 32) -> jax.Array:
+    """(N, H, W, F) -> (N, (hp + 2*_MARGIN) * (W + 2), F) flat row-band layout
+    with one zero pad column per side and _MARGIN zero rows above and below
+    (hp = H rounded up to a multiple of ``band``). The inverse is
+    ``unflatten_rdb``; ``rdb_pallas_flat`` maps flat -> flat."""
+    n, h, w, f = x.shape
+    wp = w + 2
+    assert wp % 8 == 0, f"W+2 must be a multiple of 8, got {w}"
+    n_bands = -(-h // band)
+    hp = n_bands * band
+    return jnp.pad(
+        x, ((0, 0), (_MARGIN, hp - h + _MARGIN), (1, 1), (0, 0))
+    ).reshape(n, -1, f)
+
+
+def unflatten_rdb(flat: jax.Array, h: int, w: int, band: int = 32) -> jax.Array:
+    """Inverse of ``flatten_rdb``: (N, R, F) -> (N, H, W, F)."""
+    n, _, f = flat.shape
+    wp = w + 2
+    n_bands = -(-h // band)
+    hp = n_bands * band
+    img = flat.reshape(n, hp + 2 * _MARGIN, wp, f)
+    return img[:, _MARGIN : _MARGIN + h, 1 : w + 1]
+
+
+def _rdb_flat_kernel(
+    flat_ref,  # (N, R, F) ANY/HBM — resident flat layout, margins zero
+    wx_ref,
+    w1_ref,
+    w2_ref,
+    w3_ref,
+    w4_ref,
+    b_ref,
+    out_ref,  # (N, R, F) ANY/HBM
+    xwin_ref,  # (2, E, F) VMEM — double-buffered input band windows
+    outs_ref,  # (2, band*wp, F) VMEM — double-buffered output bands
+    zeros_ref,  # (_MARGIN*wp, F) VMEM — margin zeroing source
+    accx_ref,
+    acc1_ref,
+    acc2_ref,
+    acc3_ref,
+    in_sem,  # DMA (2,)
+    out_sem,  # DMA (2,)
+    z_sem,  # DMA (2,)
+    *,
+    n_bands: int,
+    band: int,
+    wp: int,
+    height: int,
+    width: int,
+    features: int,
+    growth: int,
+    scaling: float,
+    pack_dys: bool = False,
+    mxu_bf16: bool = False,
+):
+    img = pl.program_id(0)
+    e = (band + 2 * _MARGIN) * wp
+    mw = _MARGIN * wp
+    hp = n_bands * band
+
+    def in_dma(slot, i):
+        return pltpu.make_async_copy(
+            flat_ref.at[img, pl.ds(i * band * wp, e), :],
+            xwin_ref.at[slot],
+            in_sem.at[slot],
+        )
+
+    def out_dma(slot, i):
+        return pltpu.make_async_copy(
+            outs_ref.at[slot],
+            out_ref.at[img, pl.ds(mw + i * band * wp, band * wp), :],
+            out_sem.at[slot],
+        )
+
+    # the freshly allocated out buffer needs its zero margins re-established
+    # every launch (the next launch in the chain reads them as x)
+    zeros_ref[...] = jnp.zeros_like(zeros_ref)
+    zt = pltpu.make_async_copy(
+        zeros_ref, out_ref.at[img, pl.ds(0, mw), :], z_sem.at[0]
+    )
+    zb = pltpu.make_async_copy(
+        zeros_ref, out_ref.at[img, pl.ds(mw + hp * wp, mw), :], z_sem.at[1]
+    )
+    zt.start()
+    zb.start()
+
+    in_dma(0, 0).start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_bands)
+        def _():
+            in_dma(1 - slot, i + 1).start()
+
+        in_dma(slot, i).wait()
+
+        # the slot's previous out-DMA must land before we overwrite it
+        @pl.when(i >= 2)
+        def _():
+            out_dma(slot, i - 2).wait()
+
+        outs_ref[slot] = _band_compute(
+            xwin_ref[slot],
+            wx_ref, w1_ref, w2_ref, w3_ref, w4_ref, b_ref,
+            accx_ref, acc1_ref, acc2_ref, acc3_ref,
+            i * band - _MARGIN,
+            band=band, wp=wp, height=height, width=width,
+            features=features, growth=growth, scaling=scaling,
+            pack_dys=pack_dys, mxu_bf16=mxu_bf16, mask_out=True,
+        )
+        out_dma(slot, i).start()
+        return 0
+
+    jax.lax.fori_loop(0, n_bands, body, 0)
+
+    # drain the in-flight output and margin DMAs before the launch retires
+    if n_bands >= 2:
+        out_dma((n_bands - 2) % 2, n_bands - 2).wait()
+    out_dma((n_bands - 1) % 2, n_bands - 1).wait()
+    zt.wait()
+    zb.wait()
+
+
+def rdb_pallas_flat(
+    flat: jax.Array,  # (N, R, F) fp32 flat layout (see flatten_rdb)
+    kernels: Sequence[jax.Array],
+    biases: Sequence[jax.Array],
+    scaling: float,
+    *,
+    h: int,
+    w: int,
+    band: int = 32,
+    interpret: bool = False,
+    pack_dys: bool = True,
+    mxu_bf16: bool = False,
+) -> jax.Array:
+    """Fused dense block on the resident flat layout: flat -> flat, margins
+    and pad columns zero in and out. Same math as ``rdb_pallas`` (shared
+    ``_band_compute`` body); only the IO differs — band windows are DMA'd
+    from HBM inside the kernel instead of being gathered by XLA per launch."""
+    n, r, f = flat.shape
+    g = kernels[0].shape[-1]
+    wp = w + 2
+    assert wp % 8 == 0, f"W+2 must be a multiple of 8, got {w}"
+    n_bands = -(-h // band)
+    assert r == (n_bands * band + 2 * _MARGIN) * wp, (r, h, w, band)
+    e = (band + 2 * _MARGIN) * wp
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    packed = _pack_weights(kernels, f, g, pack_dys=pack_dys)
+    if mxu_bf16:
+        packed = [p_.astype(jnp.bfloat16) for p_ in packed]
+    b_all = jnp.concatenate(biases)[None, :]
+
+    kernel = functools.partial(
+        _rdb_flat_kernel,
+        n_bands=n_bands,
+        band=band,
+        wp=wp,
+        height=h,
+        width=w,
+        features=f,
+        growth=g,
+        scaling=scaling,
+        pack_dys=pack_dys,
+        mxu_bf16=mxu_bf16,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, r, f), jnp.float32),
+        grid=(n,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [
+            pl.BlockSpec(p_.shape, lambda i, nd=p_.ndim: (0,) * nd)
+            for p_ in packed
+        ]
+        + [pl.BlockSpec(b_all.shape, lambda i: (0, 0))],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, e, f), jnp.float32),
+            pltpu.VMEM((2, band * wp, f), jnp.float32),
+            pltpu.VMEM((_MARGIN * wp, f), jnp.float32),
+            pltpu.VMEM((e, f + 4 * g), jnp.float32),
+            pltpu.VMEM((e, f + 3 * g), jnp.float32),
+            pltpu.VMEM((e, f + 2 * g), jnp.float32),
+            pltpu.VMEM((e, f + g), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(flat, *packed, b_all)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def rdb_fused_flat(flat, kernels, biases, scaling, h, w, band=32, mxu_bf16=False):
+    return rdb_pallas_flat(
+        flat, kernels, biases, scaling, h=h, w=w, band=band, mxu_bf16=mxu_bf16
+    )
+
+
+def _flat_reference(flat, kernels, biases, scaling, h, w, band):
+    """flat -> flat through the XLA dense block (the flat path's oracle and
+    its backward): margins are discarded on the way in and re-zeroed on the
+    way out, matching the kernel's masked-write semantics."""
+    x = unflatten_rdb(flat, h, w, band)
+    return flatten_rdb(rdb_reference(x, kernels, biases, scaling), band)
+
+
+def _rdb_flat_fwd(flat, kernels, biases, scaling, h, w, band, mxu_bf16):
+    return rdb_pallas_flat(
+        flat, kernels, biases, scaling, h=h, w=w, band=band, mxu_bf16=mxu_bf16
+    ), (flat, tuple(kernels), tuple(biases))
+
+
+def _rdb_flat_bwd(scaling, h, w, band, mxu_bf16, res, g):
+    flat, kernels, biases = res
+    _, vjp = jax.vjp(
+        lambda f_, k_, b_: _flat_reference(f_, k_, b_, scaling, h, w, band),
+        flat, list(kernels), list(biases),
+    )
+    return vjp(g)
+
+
+rdb_fused_flat.defvjp(_rdb_flat_fwd, _rdb_flat_bwd)

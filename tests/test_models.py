@@ -211,3 +211,56 @@ def test_summary_and_dot(tmp_path):
     path = tmp_path / "generator.dot"
     path.write_text(dot)
     assert path.exists() and path.stat().st_size > 1000
+
+
+def test_resident_trunk_is_equivalent(rng):
+    """rdb_resident='always' (flat row-band layout held across the whole RRDB
+    scan, ops.pallas_rdb.rdb_fused_flat) is a pure IO change: identical
+    parameter tree, outputs equal to the per-launch fused path to round-off.
+    lr=16 makes the latent width 14, satisfying the kernel's (W+2) % 8 pitch."""
+    model_r, params = build_generator(
+        GeneratorConfig(num_residual_blocks=2, rdb_resident="always"), lr=16
+    )
+    model_n, params_n = build_generator(
+        GeneratorConfig(num_residual_blocks=2, rdb_resident="never"), lr=16
+    )
+    assert jax.tree_util.tree_all(
+        jax.tree.map(lambda a, b: a.shape == b.shape, params, params_n)
+    )
+    xs = example_inputs_nhwc(1, 16)
+    xs = tuple(jnp.asarray(rng.randn(*x.shape), jnp.float32) for x in xs)
+    out_r = model_r.apply({"params": params}, *xs)
+    out_n = model_n.apply({"params": params}, *xs)
+    assert out_r.shape == out_n.shape
+    np.testing.assert_allclose(
+        np.asarray(out_r), np.asarray(out_n), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_resident_trunk_gradients_flow(rng):
+    """The resident trunk's custom VJP must produce finite grads that match
+    the per-launch path (training never dispatches here, but grads must
+    exist and be correct under jit)."""
+    model_r, params = build_generator(
+        GeneratorConfig(num_residual_blocks=1, rdb_resident="always"), lr=16
+    )
+    model_n, _ = build_generator(
+        GeneratorConfig(num_residual_blocks=1, rdb_resident="never"), lr=16
+    )
+    xs = example_inputs_nhwc(1, 16)
+    xs = tuple(jnp.asarray(rng.randn(*x.shape), jnp.float32) for x in xs)
+
+    def loss(model):
+        def f(p):
+            return jnp.sum(model.apply({"params": p}, *xs) ** 2)
+        return f
+
+    gr = jax.grad(loss(model_r))(params)
+    gn = jax.grad(loss(model_n))(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gr), jax.tree_util.tree_leaves(gn)
+    ):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )

@@ -149,3 +149,143 @@ def test_model_xla_branch_unchanged_by_refactor():
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(ref14), rtol=1e-5, atol=1e-5
     )
+
+
+# --------------------------- flat-resident path ---------------------------
+
+
+def _flat_mask(h, w, band):
+    """Boolean (R,) validity mask of the flat layout (True = in-image)."""
+    from deepbedmap_tpu.ops.pallas_rdb import _MARGIN
+
+    wp = w + 2
+    n_bands = -(-h // band)
+    hp = n_bands * band
+    rows = np.arange((hp + 2 * _MARGIN) * wp)
+    row_g = rows // wp - _MARGIN
+    col = rows % wp
+    return (row_g >= 0) & (row_g < h) & (col >= 1) & (col <= w)
+
+
+def test_flatten_unflatten_roundtrip():
+    from deepbedmap_tpu.ops.pallas_rdb import flatten_rdb, unflatten_rdb
+
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(2, 13, 14, F).astype(np.float32))
+    flat = flatten_rdb(x, band=4)
+    back = unflatten_rdb(flat, 13, 14, band=4)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+    # margins / pad columns are zero — the invariant the kernel relies on
+    fl = np.asarray(flat)
+    assert np.all(fl[:, ~_flat_mask(13, 14, 4), :] == 0.0)
+
+
+@pytest.mark.parametrize(
+    "shape,band",
+    [
+        ((1, 13, 14, F), 4),   # H not divisible by band, odd W
+        ((2, 16, 6, F), 8),    # batch > 1, tiny W
+        ((1, 5, 30, F), 16),   # band > H (single band, exercises the drain)
+        ((1, 12, 14, F), 4),   # 3 bands — full double-buffer rotation
+    ],
+)
+def test_rdb_flat_matches_xla(shape, band):
+    """The flat-resident kernel is the same math as the banded kernel, only
+    the IO differs: flat -> flat must equal the XLA oracle on the interior
+    AND leave margins/pad columns exactly zero (the next launch reads them
+    as pre-padded input)."""
+    from deepbedmap_tpu.ops.pallas_rdb import (
+        flatten_rdb,
+        rdb_pallas_flat,
+        unflatten_rdb,
+    )
+
+    rs = np.random.RandomState(8)
+    kernels, biases = _params(seed=8)
+    x = jnp.asarray(rs.randn(*shape).astype(np.float32))
+    n, h, w, _ = shape
+    flat = flatten_rdb(x, band=band)
+    out_flat = rdb_pallas_flat(
+        flat, kernels, biases, 0.2, h=h, w=w, band=band
+    )
+    got = unflatten_rdb(out_flat, h, w, band=band)
+    ref = rdb_reference(x, kernels, biases, 0.2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    of = np.asarray(out_flat)
+    assert np.all(of[:, ~_flat_mask(h, w, band), :] == 0.0), (
+        "resident-buffer invariant broken: nonzero margins/pad columns"
+    )
+
+
+def test_rdb_flat_chain_matches_xla_chain():
+    """Three chained flat launches + a flat RRDB-style skip == the XLA chain:
+    the output of one launch IS a valid pre-padded input for the next."""
+    from deepbedmap_tpu.ops.pallas_rdb import (
+        flatten_rdb,
+        rdb_pallas_flat,
+        unflatten_rdb,
+    )
+
+    rs = np.random.RandomState(9)
+    x = jnp.asarray(rs.randn(1, 13, 14, F).astype(np.float32))
+    sets = [_params(seed=10 + i) for i in range(3)]
+
+    flat = flatten_rdb(x, band=4)
+    a = flat
+    for ks, bs in sets:
+        a = rdb_pallas_flat(a, ks, bs, 0.2, h=13, w=14, band=4)
+    got = unflatten_rdb(flat + 0.2 * a, 13, 14, band=4)
+
+    r = x
+    for ks, bs in sets:
+        r = rdb_reference(r, ks, bs, 0.2)
+    ref = x + 0.2 * r
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=2e-5)
+
+
+def test_rdb_flat_gradients_match_xla():
+    from deepbedmap_tpu.ops.pallas_rdb import (
+        flatten_rdb,
+        rdb_fused_flat,
+        unflatten_rdb,
+    )
+
+    kernels, biases = _params(seed=11)
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(1, 8, 6, F).astype(np.float32))
+
+    def loss_flat(x, ks, bs):
+        flat = flatten_rdb(x, band=4)
+        out = rdb_fused_flat(flat, ks, bs, 0.2, 8, 6, 4)
+        return jnp.sum(unflatten_rdb(out, 8, 6, band=4) ** 2)
+
+    def loss_ref(x, ks, bs):
+        return jnp.sum(rdb_reference(x, ks, bs, 0.2) ** 2)
+
+    gf = jax.grad(loss_flat, argnums=(0, 1, 2))(x, kernels, biases)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, kernels, biases)
+    for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_rdb_flat_mxu_bf16_parity():
+    """mxu_bf16 in the flat kernel is the same cast discipline as the banded
+    kernel — identical decomposition, so interpret-mode outputs match the
+    banded kernel exactly."""
+    from deepbedmap_tpu.ops.pallas_rdb import (
+        flatten_rdb,
+        rdb_pallas_flat,
+        unflatten_rdb,
+    )
+
+    rs = np.random.RandomState(12)
+    kernels, biases = _params(seed=12)
+    x = jnp.asarray(rs.randn(1, 13, 14, F).astype(np.float32))
+    banded = rdb_pallas(x, kernels, biases, 0.2, band=4, mxu_bf16=True)
+    flat = rdb_pallas_flat(
+        flatten_rdb(x, band=4), kernels, biases, 0.2,
+        h=13, w=14, band=4, mxu_bf16=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unflatten_rdb(flat, 13, 14, band=4)), np.asarray(banded)
+    )
