@@ -53,12 +53,15 @@ def main():
         compute_dtype=os.environ.get("DTYPE", "float32"),
         rdb_mxu_bf16=os.environ.get("RDB_BF16", "") == "1",
         upsample_phase_conv=os.environ.get("PHASE_UP", "") == "1",
+        rdb_resident="auto" if os.environ.get("RDB_RESIDENT", "") == "1"
+        else "never",
     )
     print(json.dumps({"config": {
         "tail_fused": cfg.tail_fused, "tail_pack_taps": cfg.tail_pack_taps,
         "compute_dtype": cfg.compute_dtype,
         "rdb_mxu_bf16": cfg.rdb_mxu_bf16,
         "upsample_phase_conv": cfg.upsample_phase_conv,
+        "rdb_resident": cfg.rdb_resident,
         "tiles_per_dispatch": int(os.environ.get("TPD", "1"))}}), flush=True)
     model, params = build_generator(cfg, lr=11)
 

@@ -99,7 +99,7 @@ flat_fn = jax.jit(
     )
 )
 flat_in = jax.jit(flatten_rdb)(x)
-got_flat = unflatten_rdb(flat_fn(flat_in), LAT, LAT)
+got_flat = unflatten_rdb(flat_fn(flat_in), LAT, LAT, features=64)
 log("stage 1: compiling banded kernel...")
 banded_fn = jax.jit(
     lambda a: rdb_pallas(a, kernels, biases, 0.2, mxu_bf16=MXU_BF16)
@@ -154,7 +154,7 @@ def trunk_resident(a):
         return c + 0.2 * r, None
 
     out, _ = lax.scan(body, f, None, length=12)
-    return unflatten_rdb(out, LAT, LAT)
+    return unflatten_rdb(out, LAT, LAT, features=64)
 
 
 log("stage 2: compiling banded 12-RRDB trunk (~2-6 min)...")

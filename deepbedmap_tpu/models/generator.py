@@ -167,7 +167,10 @@ class Generator(nn.Module):
             name="residual_network",
         )
         t_out, _ = trunk(t_in, None)
-        a2 = unflatten_rdb(t_out, h_lat, w_lat) if resident else t_out
+        a2 = (
+            unflatten_rdb(t_out, h_lat, w_lat, features=a1.shape[-1])
+            if resident else t_out
+        )
 
         # 3: post-residual conv + long skip (fused into the conv epilogue)
         a3 = conv64("post_residual_conv_layer")(a2, residual=a1)

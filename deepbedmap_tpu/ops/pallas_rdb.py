@@ -430,43 +430,62 @@ def rdb_pallas(
 # ---------------------------------------------------------------------------
 
 
+_LANES = 128  # Mosaic HBM memref_slice lane-alignment requirement: manual
+# in-kernel DMAs (``.at[img, pl.ds(...), :]`` on ANY-space refs) must slice
+# whole 128-lane tiles along the minormost dim, so the resident flat buffer
+# keeps its channel dim zero-padded to a multiple of 128 and the kernel
+# lane-slices the logical F channels in VMEM (probe-verified on v5e: a
+# 64-lane HBM slice is rejected with "Slice shape along dimension 2 must be
+# aligned to tiling (128)"; the padded DMA + VMEM slice compiles and runs).
+
+
 def flatten_rdb(x: jax.Array, band: int = 32) -> jax.Array:
-    """(N, H, W, F) -> (N, (hp + 2*_MARGIN) * (W + 2), F) flat row-band layout
-    with one zero pad column per side and _MARGIN zero rows above and below
-    (hp = H rounded up to a multiple of ``band``). The inverse is
-    ``unflatten_rdb``; ``rdb_pallas_flat`` maps flat -> flat."""
+    """(N, H, W, F) -> (N, (hp + 2*_MARGIN) * (W + 2), Fp) flat row-band
+    layout with one zero pad column per side, _MARGIN zero rows above and
+    below (hp = H rounded up to a multiple of ``band``) and the channel dim
+    zero-padded to Fp = F rounded up to a multiple of 128 lanes (see
+    ``_LANES``). The inverse is ``unflatten_rdb`` (pass ``features=F``);
+    ``rdb_pallas_flat`` maps flat -> flat."""
     n, h, w, f = x.shape
     wp = w + 2
     assert wp % 8 == 0, f"W+2 must be a multiple of 8, got {w}"
     n_bands = -(-h // band)
     hp = n_bands * band
+    fp = -(-f // _LANES) * _LANES
     return jnp.pad(
-        x, ((0, 0), (_MARGIN, hp - h + _MARGIN), (1, 1), (0, 0))
-    ).reshape(n, -1, f)
+        x, ((0, 0), (_MARGIN, hp - h + _MARGIN), (1, 1), (0, fp - f))
+    ).reshape(n, -1, fp)
 
 
-def unflatten_rdb(flat: jax.Array, h: int, w: int, band: int = 32) -> jax.Array:
-    """Inverse of ``flatten_rdb``: (N, R, F) -> (N, H, W, F)."""
-    n, _, f = flat.shape
+def unflatten_rdb(
+    flat: jax.Array, h: int, w: int, band: int = 32,
+    features: int | None = None,
+) -> jax.Array:
+    """Inverse of ``flatten_rdb``: (N, R, Fp) -> (N, H, W, features).
+    ``features`` is the logical channel count before lane padding (defaults
+    to all Fp lanes, which is only the round trip when F was already a
+    multiple of 128)."""
+    n, _, fp = flat.shape
+    f = fp if features is None else features
     wp = w + 2
     n_bands = -(-h // band)
     hp = n_bands * band
-    img = flat.reshape(n, hp + 2 * _MARGIN, wp, f)
-    return img[:, _MARGIN : _MARGIN + h, 1 : w + 1]
+    img = flat.reshape(n, hp + 2 * _MARGIN, wp, fp)
+    return img[:, _MARGIN : _MARGIN + h, 1 : w + 1, :f]
 
 
 def _rdb_flat_kernel(
-    flat_ref,  # (N, R, F) ANY/HBM — resident flat layout, margins zero
+    flat_ref,  # (N, R, Fp) ANY/HBM — resident flat layout, margins zero
     wx_ref,
     w1_ref,
     w2_ref,
     w3_ref,
     w4_ref,
     b_ref,
-    out_ref,  # (N, R, F) ANY/HBM
-    xwin_ref,  # (2, E, F) VMEM — double-buffered input band windows
-    outs_ref,  # (2, band*wp, F) VMEM — double-buffered output bands
-    zeros_ref,  # (_MARGIN*wp, F) VMEM — margin zeroing source
+    out_ref,  # (N, R, Fp) ANY/HBM
+    xwin_ref,  # (2, E, Fp) VMEM — double-buffered input band windows
+    outs_ref,  # (2, band*wp, Fp) VMEM — double-buffered output bands
+    zeros_ref,  # (_MARGIN*wp, Fp) VMEM — margin zeroing source
     accx_ref,
     acc1_ref,
     acc2_ref,
@@ -533,8 +552,10 @@ def _rdb_flat_kernel(
         def _():
             out_dma(slot, i - 2).wait()
 
-        outs_ref[slot] = _band_compute(
-            xwin_ref[slot],
+        # the flat buffer carries Fp >= features lanes (HBM DMA alignment,
+        # see _LANES); compute on the logical channels and re-pad with zeros
+        band_out = _band_compute(
+            xwin_ref[slot][:, :features],
             wx_ref, w1_ref, w2_ref, w3_ref, w4_ref, b_ref,
             accx_ref, acc1_ref, acc2_ref, acc3_ref,
             i * band - _MARGIN,
@@ -542,6 +563,14 @@ def _rdb_flat_kernel(
             features=features, growth=growth, scaling=scaling,
             pack_dys=pack_dys, mxu_bf16=mxu_bf16, mask_out=True,
         )
+        lanes = outs_ref.shape[-1]
+        if lanes > features:
+            band_out = jnp.concatenate(
+                [band_out,
+                 jnp.zeros((band * wp, lanes - features), band_out.dtype)],
+                axis=1,
+            )
+        outs_ref[slot] = band_out
         out_dma(slot, i).start()
         return 0
 
@@ -556,7 +585,7 @@ def _rdb_flat_kernel(
 
 
 def rdb_pallas_flat(
-    flat: jax.Array,  # (N, R, F) fp32 flat layout (see flatten_rdb)
+    flat: jax.Array,  # (N, R, Fp) fp32 flat layout (see flatten_rdb)
     kernels: Sequence[jax.Array],
     biases: Sequence[jax.Array],
     scaling: float,
@@ -568,11 +597,15 @@ def rdb_pallas_flat(
     pack_dys: bool = True,
     mxu_bf16: bool = False,
 ) -> jax.Array:
-    """Fused dense block on the resident flat layout: flat -> flat, margins
-    and pad columns zero in and out. Same math as ``rdb_pallas`` (shared
-    ``_band_compute`` body); only the IO differs — band windows are DMA'd
-    from HBM inside the kernel instead of being gathered by XLA per launch."""
-    n, r, f = flat.shape
+    """Fused dense block on the resident flat layout: flat -> flat, margins,
+    pad columns and pad lanes zero in and out. Same math as ``rdb_pallas``
+    (shared ``_band_compute`` body); only the IO differs — band windows are
+    DMA'd from HBM inside the kernel instead of being gathered by XLA per
+    launch. The logical channel count comes from the weights; the buffer's
+    lane dim is 128-padded (``_LANES``) so the HBM slices tile-align."""
+    n, r, fp = flat.shape
+    f = kernels[0].shape[2]  # logical channels, before lane padding
+    assert fp == -(-f // _LANES) * _LANES, (fp, f)
     g = kernels[0].shape[-1]
     wp = w + 2
     assert wp % 8 == 0, f"W+2 must be a multiple of 8, got {w}"
@@ -601,7 +634,7 @@ def rdb_pallas_flat(
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, r, f), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, r, fp), jnp.float32),
         grid=(n,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [
@@ -611,9 +644,9 @@ def rdb_pallas_flat(
         + [pl.BlockSpec(b_all.shape, lambda i: (0, 0))],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, e, f), jnp.float32),
-            pltpu.VMEM((2, band * wp, f), jnp.float32),
-            pltpu.VMEM((_MARGIN * wp, f), jnp.float32),
+            pltpu.VMEM((2, e, fp), jnp.float32),
+            pltpu.VMEM((2, band * wp, fp), jnp.float32),
+            pltpu.VMEM((_MARGIN * wp, fp), jnp.float32),
             pltpu.VMEM((e, f + 4 * g), jnp.float32),
             pltpu.VMEM((e, f + 3 * g), jnp.float32),
             pltpu.VMEM((e, f + 2 * g), jnp.float32),
@@ -638,9 +671,9 @@ def rdb_fused_flat(flat, kernels, biases, scaling, h, w, band=32, mxu_bf16=False
 
 def _flat_reference(flat, kernels, biases, scaling, h, w, band):
     """flat -> flat through the XLA dense block (the flat path's oracle and
-    its backward): margins are discarded on the way in and re-zeroed on the
-    way out, matching the kernel's masked-write semantics."""
-    x = unflatten_rdb(flat, h, w, band)
+    its backward): margins and pad lanes are discarded on the way in and
+    re-zeroed on the way out, matching the kernel's masked-write semantics."""
+    x = unflatten_rdb(flat, h, w, band, features=kernels[0].shape[2])
     return flatten_rdb(rdb_reference(x, kernels, biases, scaling), band)
 
 

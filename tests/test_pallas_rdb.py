@@ -173,11 +173,14 @@ def test_flatten_unflatten_roundtrip():
     rs = np.random.RandomState(7)
     x = jnp.asarray(rs.randn(2, 13, 14, F).astype(np.float32))
     flat = flatten_rdb(x, band=4)
-    back = unflatten_rdb(flat, 13, 14, band=4)
+    back = unflatten_rdb(flat, 13, 14, band=4, features=F)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
     # margins / pad columns are zero — the invariant the kernel relies on
     fl = np.asarray(flat)
     assert np.all(fl[:, ~_flat_mask(13, 14, 4), :] == 0.0)
+    # the lane dim is 128-padded (HBM DMA alignment) with zero pad lanes
+    assert fl.shape[-1] == 128
+    assert np.all(fl[:, :, F:] == 0.0)
 
 
 @pytest.mark.parametrize(
@@ -208,7 +211,7 @@ def test_rdb_flat_matches_xla(shape, band):
     out_flat = rdb_pallas_flat(
         flat, kernels, biases, 0.2, h=h, w=w, band=band
     )
-    got = unflatten_rdb(out_flat, h, w, band=band)
+    got = unflatten_rdb(out_flat, h, w, band=band, features=F)
     ref = rdb_reference(x, kernels, biases, 0.2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
     of = np.asarray(out_flat)
@@ -234,7 +237,7 @@ def test_rdb_flat_chain_matches_xla_chain():
     a = flat
     for ks, bs in sets:
         a = rdb_pallas_flat(a, ks, bs, 0.2, h=13, w=14, band=4)
-    got = unflatten_rdb(flat + 0.2 * a, 13, 14, band=4)
+    got = unflatten_rdb(flat + 0.2 * a, 13, 14, band=4, features=F)
 
     r = x
     for ks, bs in sets:
@@ -257,7 +260,7 @@ def test_rdb_flat_gradients_match_xla():
     def loss_flat(x, ks, bs):
         flat = flatten_rdb(x, band=4)
         out = rdb_fused_flat(flat, ks, bs, 0.2, 8, 6, 4)
-        return jnp.sum(unflatten_rdb(out, 8, 6, band=4) ** 2)
+        return jnp.sum(unflatten_rdb(out, 8, 6, band=4, features=F) ** 2)
 
     def loss_ref(x, ks, bs):
         return jnp.sum(rdb_reference(x, ks, bs, 0.2) ** 2)
@@ -287,5 +290,6 @@ def test_rdb_flat_mxu_bf16_parity():
         h=13, w=14, band=4, mxu_bf16=True,
     )
     np.testing.assert_array_equal(
-        np.asarray(unflatten_rdb(flat, 13, 14, band=4)), np.asarray(banded)
+        np.asarray(unflatten_rdb(flat, 13, 14, band=4, features=F)),
+        np.asarray(banded)
     )
