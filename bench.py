@@ -63,6 +63,7 @@ def main() -> None:
             "RDB_BF16", "1" if cfg.rdb_mxu_bf16 else "0") == "1",
         upsample_phase_conv=os.environ.get(
             "PHASE_UP", "1" if cfg.upsample_phase_conv else "0") == "1",
+        rdb_resident=os.environ.get("RDB_RESIDENT", cfg.rdb_resident),
     )
     model, params = build_generator(cfg, lr=11)
 

@@ -53,8 +53,9 @@ def main():
         compute_dtype=os.environ.get("DTYPE", "float32"),
         rdb_mxu_bf16=os.environ.get("RDB_BF16", "") == "1",
         upsample_phase_conv=os.environ.get("PHASE_UP", "") == "1",
-        rdb_resident="auto" if os.environ.get("RDB_RESIDENT", "") == "1"
-        else "never",
+        rdb_resident={"1": "auto", "0": "never"}.get(
+            os.environ.get("RDB_RESIDENT", ""), GeneratorConfig().rdb_resident
+        ),
     )
     print(json.dumps({"config": {
         "tail_fused": cfg.tail_fused, "tail_pack_taps": cfg.tail_pack_taps,

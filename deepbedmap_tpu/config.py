@@ -76,9 +76,12 @@ class GeneratorConfig:
     # overlapping-gather -> unpad glue XLA cannot fuse into the custom call.
     # 'auto' dispatches exactly where the fused RDB kernel would (TPU,
     # inference-scale, fp32); 'never' keeps the per-launch gather path;
-    # 'always' forces it (tests / interpret mode). Default 'never' until
-    # measured on TPU.
-    rdb_resident: str = "never"
+    # 'always' forces it (tests / interpret mode). MEASURED (r4n session,
+    # 2026-08-19): standalone trunk 45.5 -> 33.4 ms/tile, in-model
+    # 95.53 -> 82.50 ms/dispatch at batch 2, continent 40.14 -> 34.75 s
+    # (11.39 tiles/s on one chip), trunk parity bit-exact vs the banded
+    # kernel -> production default 'auto'.
+    rdb_resident: str = "auto"
     # Fused 3x3-conv Pallas kernel (ops.pallas_conv) for the generator's
     # plain conv stages — pre/post-residual and both post-upsample convs —
     # with their LeakyReLU / long-skip epilogues fused into the kernel
