@@ -20,6 +20,18 @@ def initialize(
     """Initialise jax.distributed (no-op if already initialised or single
     process). On Cloud TPU the arguments auto-detect from the environment."""
     import jax
+    from jax._src import xla_bridge
+
+    if (
+        xla_bridge.backends_are_initialized()
+        and coordinator_address is None
+        and (num_processes is None or num_processes == 1)
+    ):
+        # Backends already up in this process and no multi-process coordinator
+        # requested: jax.distributed.initialize() would raise ("must be called
+        # before any JAX calls"), but a single-process run needs no
+        # coordination service — the documented no-op.
+        return
 
     try:
         jax.distributed.initialize(
