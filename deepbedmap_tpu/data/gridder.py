@@ -2,9 +2,11 @@
 (reference L1, data_prep.py:353-441).
 
 ``get_region`` rounds point bounds outward to increments (gmt info -I);
-``blockmedian`` reduces points to per-cell medians; ``xyz_to_grid`` runs the
-device-side tension-spline solve (ops.spline), masks far-from-data cells, and
-resamples gridline -> pixel registration, returning a Raster.
+``blockmedian`` reduces points to per-block medians with GMT's node-centered
+block semantics; ``xyz_to_grid`` solves the GMT-surface system exactly
+(ops.gmt_surface), masks far-from-data cells, and resamples gridline ->
+pixel registration, returning a Raster. A JAX relaxation backend
+(ops.spline) remains for very large grids where the sparse LU would thrash.
 """
 
 from __future__ import annotations
@@ -16,11 +18,16 @@ import numpy as np
 import pandas as pd
 
 from deepbedmap_tpu.data.raster import Raster
+from deepbedmap_tpu.ops import gmt_surface
 from deepbedmap_tpu.ops.spline import (
     distance_mask,
     gridline_to_pixel,
     solve_tension_spline,
 )
+
+# above this many gridline nodes the exact sparse solve falls back to the
+# device-side relaxation solver (assembly + LU get slow on one host core)
+_EXACT_NODE_LIMIT = 300_000
 
 
 def get_region(
@@ -67,19 +74,31 @@ def blockmedian(
     region: Tuple[float, float, float, float],
     spacing: float = 250.0,
 ) -> pd.DataFrame:
-    """Per-cell median of x, y and z over a pixel-registered block grid
-    (reference gmt.blockmedian, data_prep.py:407)."""
+    """Per-block medians of x, y and z (reference gmt.blockmedian,
+    data_prep.py:407).
+
+    GMT's block tools default to GRIDLINE registration: blocks are CENTERED
+    on the grid nodes (edge blocks half-sized), not aligned with pixel
+    cells. Output position is the independent median of the x's and y's in
+    the block, matching blockmedian's default (not -Q)."""
     xmin, xmax, ymin, ymax = region
     df = xyz_data[
         (xyz_data.x >= xmin)
         & (xyz_data.x <= xmax)
         & (xyz_data.y >= ymin)
         & (xyz_data.y <= ymax)
-    ].copy()
-    col = np.clip(((df.x - xmin) / spacing).astype(int), 0, None)
-    row = np.clip(((df.y - ymin) / spacing).astype(int), 0, None)
-    df["_cell"] = row * (int((xmax - xmin) / spacing) + 1) + col
-    med = df.groupby("_cell")[["x", "y", "z"]].median().reset_index(drop=True)
+    ]
+    nx = int(round((xmax - xmin) / spacing)) + 1
+    ny = int(round((ymax - ymin) / spacing)) + 1
+    col = np.clip(np.floor((df.x - xmin) / spacing + 0.5).astype(int), 0, nx - 1)
+    row = np.clip(np.floor((df.y - ymin) / spacing + 0.5).astype(int), 0, ny - 1)
+    cell = row * nx + col
+    med = (
+        df.assign(_cell=np.asarray(cell))
+        .groupby("_cell")[["x", "y", "z"]]
+        .median()
+        .reset_index(drop=True)
+    )
     return med
 
 
@@ -90,27 +109,57 @@ def xyz_to_grid(
     tension: float = 0.35,
     mask_cell_radius: int = 3,
     iterations: int = 500,
+    backend: str = "auto",
     offset_correction: bool = True,
 ) -> Raster:
     """Grid xyz points to a pixel-registered Raster
     (reference xyz_to_grid, data_prep.py:382-441):
-    blockmedian -> tension-spline solve on gridline nodes -> mask cells
+    blockmedian -> surface solve on gridline nodes -> mask cells
     > mask_cell_radius from data -> gridline->pixel resample.
 
-    ``offset_correction``: blockmedian points land up to half a cell away
-    from the node they constrain; GMT surface honours that offset ("briar"
-    constraints) while a plain node snap introduces an O(spacing * |grad z|)
-    error. With correction on, an initial solve estimates the local gradient
-    and each constraint is moved to its node along that plane
-    (z_node = z_pt - grad . offset), cutting the error to O(spacing^2);
-    quantified in tests/test_gridder.py::test_offset_correction_reduces_error.
-    """
+    ``backend``:
+      'exact' — assemble and solve the converged GMT-surface linear system
+                (ops.gmt_surface): Briggs off-node constraints, tensioned
+                free-edge BCs, LS-plane detrend. Calibrated against the
+                reference's published GMT golden (~20 m max on the doctest
+                cloud, from 224 m pre-round-5; see tests/test_gridder.py).
+      'relax' — the TPU relaxation solver (ops.spline), approximate but fast
+                for very large grids; honours ``iterations`` and
+                ``offset_correction`` (first-order gradient correction of
+                node-snapped constraints).
+      'auto'  — 'exact' unless the node count exceeds {limit:,}.
+    """.format(limit=_EXACT_NODE_LIMIT)
     xmin, xmax, ymin, ymax = region
-    med = blockmedian(xyz_data, region, spacing)
-
-    # gridline-registered node grid
     nx = int(round((xmax - xmin) / spacing)) + 1
     ny = int(round((ymax - ymin) / spacing)) + 1
+    med = blockmedian(xyz_data, region, spacing)
+
+    if backend == "auto":
+        backend = "exact" if nx * ny <= _EXACT_NODE_LIMIT else "relax"
+
+    if backend == "exact":
+        # south-up gridline solve, then flip to north-up raster rows
+        z_south = gmt_surface.surface(
+            med.x.values, med.y.values, med.z.values,
+            region, spacing, tension=tension,
+        )
+        z = np.asarray(z_south[::-1], np.float64)
+        col = np.clip(np.floor((med.x - xmin) / spacing + 0.5).astype(int), 0, nx - 1)
+        row = np.clip(np.floor((ymax - med.y) / spacing + 0.5).astype(int), 0, ny - 1)
+        has_data = np.zeros((ny, nx), bool)
+        has_data[row, col] = True
+        far = distance_mask(has_data, mask_cell_radius)
+        z = np.where(far, np.nan, z)
+        z_pix = gmt_surface.grid_to_pixel(z)
+        return Raster(
+            data=z_pix.astype(np.float32),
+            left=float(xmin),
+            top=float(ymax),
+            res=float(spacing),
+            nodata=None,
+        )
+
+    # --- relaxation backend (large grids) -----------------------------------
     col = np.clip(np.round((med.x - xmin) / spacing).astype(int), 0, nx - 1)
     row = np.clip(np.round((ymax - med.y) / spacing).astype(int), 0, ny - 1)
 
@@ -137,9 +186,7 @@ def xyz_to_grid(
 
     if offset_correction:
         z0 = solve(data)
-        # local gradient of the first-pass surface (per metre)
         gy, gx = np.gradient(z0, spacing)
-        # node each point constrains, and the point's offset from it
         node_x = xmin + col * spacing
         node_y = ymax - row * spacing
         dx = np.asarray(med.x) - node_x
@@ -152,8 +199,6 @@ def xyz_to_grid(
         data, has_data = constrain(z_corr)
 
     z = solve(data)
-
-    # mask nodes far from data, then resample to pixel registration
     far = distance_mask(has_data, mask_cell_radius)
     z = np.where(far, np.nan, z)
     z_pix = np.asarray(gridline_to_pixel(jnp.asarray(z)))
