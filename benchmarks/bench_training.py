@@ -60,6 +60,12 @@ def main():
     assert np.isfinite(g_loss)
 
     per_epoch = float(np.median(times))
+    # training-side MFU (VERDICT r4 item 4): analytic minimal FLOPs of the
+    # fused D+G step (utils/flops.py:train_step_flops) vs the wall step time
+    from deepbedmap_tpu.utils.flops import train_step_mfu
+
+    n_steps = len(train_idx) // 128
+    mfu = train_step_mfu(per_epoch / n_steps, batch=128)
     print(
         json.dumps(
             {
@@ -69,6 +75,10 @@ def main():
                 "compile_plus_first_epoch_s": round(compile_and_first, 1),
                 "projected_140_epochs_min": round(140 * per_epoch / 60, 2),
                 "reference_v100_min": 30,
+                "ms_per_step": round(1e3 * per_epoch / n_steps, 2),
+                "step_tflops": round(mfu["step_tflops"], 4),
+                "achieved_tflops": round(mfu["achieved_tflops"], 2),
+                "train_mfu_vs_197tflops_peak": round(mfu["mfu"], 4),
             }
         )
     )

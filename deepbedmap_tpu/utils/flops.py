@@ -107,3 +107,83 @@ def generator_mfu(
         "achieved_tflops": achieved / 1e12,
         "mfu": achieved / peak_flops,
     }
+
+
+def discriminator_tile_flops(d_cfg=None, hr: int = 36) -> float:
+    """Minimal FLOPs of one discriminator forward on an ``hr`` x ``hr`` tile
+    (reference DiscriminatorModel, srgan_train.py:591-699): the 10-conv
+    VGG stack with Chainer's pad-1 geometry, plus the two dense layers.
+    BatchNorm/LeakyReLU are O(pixels) and excluded, as in
+    ``generator_tile_flops``."""
+    from deepbedmap_tpu.config import DiscriminatorConfig
+
+    d_cfg = d_cfg or DiscriminatorConfig()
+    size = hr
+    c_in = 1
+    macs = 0.0
+    for feat, k, s in zip(d_cfg.channels, d_cfg.kernels, d_cfg.strides):
+        out = (size + 2 - k) // s + 1
+        macs += float(out) ** 2 * k * k * c_in * feat
+        size, c_in = out, feat
+    macs += float(size) ** 2 * c_in * d_cfg.fc_units  # flatten -> 100
+    macs += d_cfg.fc_units * 1  # -> 1 logit
+    return 2.0 * macs
+
+
+def train_step_flops(
+    g_cfg: Optional[GeneratorConfig] = None,
+    d_cfg=None,
+    loss_cfg=None,
+    batch: int = 128,
+    lr: int = 11,
+    hr: int = 36,
+    g_params: int = 8_907_749,
+    d_params: int = 10_370_761,
+) -> Dict[str, float]:
+    """Minimal FLOPs of ONE fused D+G training step (train/steps.py):
+
+      D update:  G fwd (stop-gradient)        = 1x G_fwd
+                 D(real), D(fake) fwd + bwd   = 2 x 3 x D_fwd
+      G update:  G fwd + bwd                  = 3 x G_fwd
+                 D(fake), D(real) fwd         = 2 x D_fwd
+                 (+ 2 x D input-backward when the adversarial term is
+                 differentiable — LossConfig.differentiable_adversarial;
+                 the reference-parity default detaches it,
+                 srgan_train.py:1229-1233)
+      optimizer: ~12 FLOPs/param (two Adam moments + update, both nets).
+
+    Backward = 2x forward (input grads + weight grads), the standard
+    convention; for the frozen-D pass in the G update only the input-grad
+    half is charged. Conventions otherwise as ``generator_tile_flops``."""
+    from deepbedmap_tpu.config import LossConfig
+
+    loss_cfg = loss_cfg or LossConfig()
+    g_fwd = generator_tile_flops(g_cfg, lr)["total"]
+    d_fwd = discriminator_tile_flops(d_cfg, hr)
+    g_side_d = 2.0 + (2.0 if loss_cfg.differentiable_adversarial else 0.0)
+    per_tile = 4.0 * g_fwd + (6.0 + g_side_d) * d_fwd
+    opt = 12.0 * (g_params + d_params)
+    total = batch * per_tile + opt
+    return {
+        "g_fwd": g_fwd,
+        "d_fwd": d_fwd,
+        "per_tile": per_tile,
+        "optimizer": opt,
+        "total": total,
+    }
+
+
+def train_step_mfu(
+    seconds_per_step: float,
+    batch: int = 128,
+    peak_flops: float = V5E_BF16_PEAK_FLOPS,
+    **kw,
+) -> Dict[str, float]:
+    """Achieved TFLOP/s and MFU for one fused D+G step."""
+    flops = train_step_flops(batch=batch, **kw)["total"]
+    achieved = flops / max(seconds_per_step, 1e-12)
+    return {
+        "step_tflops": flops / 1e12,
+        "achieved_tflops": achieved / 1e12,
+        "mfu": achieved / peak_flops,
+    }
