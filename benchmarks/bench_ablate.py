@@ -211,6 +211,11 @@ def main():
         # gather glue), one unflatten after; vs 'full' = the trunk-glue delta
         # (round-4 attribution priced it ~20 ms at batch 2)
         "rdb_resident": GeneratorConfig(rdb_resident="auto"),
+        # whole-RRDB fused launch (round 5): 3 sequential passes + outer
+        # skip per kernel — same MACs/HBM traffic as rdb_resident, 12
+        # custom-call boundaries instead of 36; vs 'rdb_resident' = the
+        # residual launch-sync cost (r4n put it at ~7 ms/forward)
+        "rrdb_fused": GeneratorConfig(rdb_resident="auto", rrdb_fused=True),
         # deform offset clamp 1 px (vs default 2): smaller masked-shift span
         # in both deform kernels; valid whenever the checkpoint's offsets
         # stay within +/-1 px (bench_precision_delta.py validates that)

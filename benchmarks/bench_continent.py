@@ -56,6 +56,7 @@ def main():
         rdb_resident={"1": "auto", "0": "never"}.get(
             os.environ.get("RDB_RESIDENT", ""), GeneratorConfig().rdb_resident
         ),
+        rrdb_fused=os.environ.get("RRDB_FUSED", "") == "1",
     )
     print(json.dumps({"config": {
         "tail_fused": cfg.tail_fused, "tail_pack_taps": cfg.tail_pack_taps,

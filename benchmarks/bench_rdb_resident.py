@@ -181,4 +181,62 @@ log(
     f"trunk parity banded-vs-resident: max abs {d:.3e} "
     f"(max|out| {scale:.1f}, rel {d / scale:.3e})"
 )
+
+# --- stage 3 (RRDB=1): whole-RRDB fused launches — 12 boundaries not 36 ---
+if os.environ.get("RRDB", "") == "1":
+    from deepbedmap_tpu.ops.pallas_rdb import rrdb_pallas_flat
+
+    k3 = [kernels] * 3
+    b3 = [biases] * 3
+
+    def trunk_rrdb(a):
+        f = flatten_rdb(a)
+
+        def body(c, _):
+            return rrdb_pallas_flat(
+                c, k3, b3, 0.2, h=LAT, w=LAT, mxu_bf16=MXU_BF16
+            ), None
+
+        out, _ = lax.scan(body, f, None, length=12)
+        return unflatten_rdb(out, LAT, LAT, features=64)
+
+    log("stage 3: compiling single RRDB launch at the flagship shape...")
+    one_rrdb = jax.jit(
+        lambda f: rrdb_pallas_flat(
+            f, k3, b3, 0.2, h=LAT, w=LAT, mxu_bf16=MXU_BF16
+        )
+    )
+    got_one = one_rrdb(flat_in)
+    # per-RDB composition of the same RRDB (the math being fused)
+    def rrdb_composed(f):
+        r = f
+        for _ in range(3):
+            r = rdb_pallas_flat(
+                r, kernels, biases, 0.2, h=LAT, w=LAT, mxu_bf16=MXU_BF16
+            )
+        return f + 0.2 * r
+    ref_one = jax.jit(rrdb_composed)(flat_in)
+    d1 = float(jnp.abs(got_one - ref_one).max())
+    log(f"stage 3 numerics: one RRDB fused-vs-composed max abs {d1:.3e}")
+    assert d1 == 0.0 or d1 < 1e-5, d1
+
+    t_one_fused = bench(one_rrdb, flat_in)
+    t_one_comp = bench(jax.jit(rrdb_composed), flat_in)
+    log(
+        f"one RRDB @{LAT}^2 x{BATCH}: composed(3 launches) {t_one_comp:.2f} ms"
+        f"   fused(1 launch) {t_one_fused:.2f} ms"
+    )
+
+    log("stage 3: compiling fused-RRDB 12-block trunk (~2-6 min)...")
+    trr = bench(jax.jit(trunk_rrdb), x, iters=5)
+    log(
+        f"rrdb-fused trunk: {trr:.1f} ms ({trr / BATCH:.1f} ms/tile) — "
+        f"vs resident {tr:.1f} ({tr - trr:+.1f} ms, {tr / trr:.2f}x)"
+    )
+    oc = jax.jit(trunk_rrdb)(x)
+    d2 = float(jnp.abs(ob - oc).max())
+    log(
+        f"trunk parity resident-vs-rrdb: max abs {d2:.3e} "
+        f"(rel {d2 / scale:.3e})"
+    )
 log("DONE")

@@ -66,6 +66,70 @@ def cmd_verify_data(args) -> int:
     return 1 if bad else 0
 
 
+def cmd_package_data(args) -> int:
+    """Content-addressed dataset packaging (reference quilt build/push/
+    install/load, data_prep.py:938-970, srgan_train.py:87-125)."""
+    from deepbedmap_tpu.data import packaging
+
+    if args.action == "push":
+        if args.files:
+            # arbitrary-member package (the reference also packaged its
+            # prediction rasters, data_prep.py:950-967)
+            import os as _os
+
+            files = {_os.path.basename(f): f for f in args.files}
+            pkg_hash = packaging.push(args.name, files, args.registry)
+        else:
+            pkg_hash = packaging.push_training_arrays(
+                args.model_dir, args.registry, name=args.name
+            )
+        _emit({"command": "package-data", "action": "push", "hash": pkg_hash})
+    elif args.action == "install":
+        manifest = packaging.install(
+            args.registry, args.name, args.dest, pkg_hash=args.hash,
+            force=args.force,
+        )
+        _emit(
+            {
+                "command": "package-data",
+                "action": "install",
+                "hash": manifest["hash"],
+                "members": sorted(manifest["members"]),
+            }
+        )
+    elif args.action == "list":
+        vs = packaging.versions(args.registry, args.name)
+        _emit(
+            {
+                "command": "package-data",
+                "action": "list",
+                "versions": [
+                    {"hash": m["hash"], "created": m.get("created", "")}
+                    for m in vs
+                ],
+            }
+        )
+    return 0
+
+
+def cmd_catalog(args) -> int:
+    """Autogenerate per-folder README.md files from the dataset manifest
+    (reference data_prep.py:168-205)."""
+    from deepbedmap_tpu.data.manifest import (
+        DEFAULT_MANIFEST,
+        write_catalog_markdown,
+        write_folder_readmes,
+    )
+
+    datalist = args.datalist or DEFAULT_MANIFEST
+    written = write_folder_readmes(args.root, yaml_file=datalist)
+    if args.catalog:
+        write_catalog_markdown(datalist, out_path=args.catalog)
+        written.append(args.catalog)
+    _emit({"command": "catalog", "written": written})
+    return 0
+
+
 def cmd_grid(args) -> int:
     from deepbedmap_tpu.data.gridder import get_region, xyz_to_grid
     from deepbedmap_tpu.data.pipeline import ascii_to_xyz
@@ -154,6 +218,11 @@ def cmd_train(args) -> int:
         learning_rate=args.learning_rate,
     )
     state = create_gan_state(g_cfg, t_cfg=t_cfg)
+    callback = None
+    if getattr(args, "live_png", None):
+        from deepbedmap_tpu.viz.live import LiveCurves
+
+        callback = LiveCurves(out_png=args.live_png, terminal=args.live_term)
     state, history = fit(
         state,
         dataset,
@@ -161,6 +230,7 @@ def cmd_train(args) -> int:
         Discriminator(),
         t_cfg=t_cfg,
         epochs=args.epochs,
+        callback=callback,
     )
     if args.out:
         save_checkpoint(state, args.out)
@@ -484,6 +554,12 @@ def cmd_verify_weights(args) -> int:
 
         python -m deepbedmap_tpu verify-weights --npz weights.npz \\
             --inputs arrays/ --expected reference_grid.nc --atol 0.5
+
+    If the comparison fails, isolate the riskiest semantic first: run the
+    committed deformable-conv golden fixture
+    (tests/fixtures/deform_golden.npz) through Chainer/torchvision on any
+    machine and compare against its ``expected`` member — the offset-layout
+    mappings are documented in tests/test_deform_oracle.py.
     """
     import numpy as np
 
@@ -598,6 +674,31 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--download", action="store_true", help="fetch missing files first")
     v.set_defaults(fn=cmd_verify_data)
 
+    pk = sub.add_parser(
+        "package-data",
+        help="content-addressed dataset packages (quilt build/push/install)",
+    )
+    pk.add_argument("action", choices=("push", "install", "list"))
+    pk.add_argument("--registry", required=True, help="registry directory")
+    pk.add_argument("--name", default="deepbedmap/model/train")
+    pk.add_argument("--model-dir", default="model", help="push: dir of *_data.npy")
+    pk.add_argument(
+        "--files", nargs="*", default=None,
+        help="push: explicit member files instead of the training-array dir",
+    )
+    pk.add_argument("--dest", default="model", help="install: output dir")
+    pk.add_argument("--hash", default=None, help="install: pin a version")
+    pk.add_argument("--force", action="store_true")
+    pk.set_defaults(fn=cmd_package_data)
+
+    cat = sub.add_parser(
+        "catalog", help="autogenerate per-folder data README.md files"
+    )
+    cat.add_argument("--root", default=".", help="data root (lowres/ highres/ ...)")
+    cat.add_argument("--datalist", default=None)
+    cat.add_argument("--catalog", default=None, help="also write a full catalog table")
+    cat.set_defaults(fn=cmd_catalog)
+
     g = sub.add_parser("grid", help="survey config -> gridded NetCDF")
     g.add_argument("survey", help="per-survey pipeline JSON (highres/*.json format)")
     g.add_argument("-o", "--out", required=True)
@@ -633,6 +734,14 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--batch-size", type=int, default=128)
     t.add_argument("--learning-rate", type=float, default=1.6e-4)
     t.add_argument("--out", default=None, help="checkpoint path")
+    t.add_argument(
+        "--live-png", default=None,
+        help="redraw training curves to this PNG every epoch (livelossplot role)",
+    )
+    t.add_argument(
+        "--live-term", action="store_true",
+        help="also print terminal sparklines per epoch",
+    )
     t.set_defaults(fn=cmd_train)
 
     h = sub.add_parser("hpo", help="hyperparameter search (reference pruner config)")

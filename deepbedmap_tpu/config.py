@@ -82,6 +82,15 @@ class GeneratorConfig:
     # (11.39 tiles/s on one chip), trunk parity bit-exact vs the banded
     # kernel -> production default 'auto'.
     rdb_resident: str = "auto"
+    # Whole-RRDB fused launch on the resident layout: the 3 dense blocks +
+    # outer skip of each RRDB run as ONE Pallas launch of three sequential
+    # full-image passes over HBM ping-pong buffers (same MACs, same HBM
+    # traffic — removes 2 of every 3 custom-call boundaries, 36 -> 12 per
+    # forward). Targets the r4n residue: in-model trunk ~34 ms vs the
+    # standalone kernel's 27 — launch sync at the 36 boundaries. Only active
+    # when the resident trunk dispatches. Default decided by measurement
+    # (round-5 session); see benchmarks/RESULTS.md.
+    rrdb_fused: bool = False
     # Fused 3x3-conv Pallas kernel (ops.pallas_conv) for the generator's
     # plain conv stages — pre/post-residual and both post-upsample convs —
     # with their LeakyReLU / long-skip epilogues fused into the kernel

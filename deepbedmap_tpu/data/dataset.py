@@ -95,6 +95,20 @@ class TileDataset:
         return content_hash(arrays)
 
     @classmethod
+    def from_package(
+        cls, registry: str, name: str = "deepbedmap/model/train",
+        pkg_hash: str | None = None,
+    ) -> "TileDataset":
+        """Restore the training arrays from a content-addressed package
+        (the reference's quilt.load-by-hash path, srgan_train.py:87-125);
+        every blob's sha256 is verified on the way out."""
+        from deepbedmap_tpu.data.packaging import load_arrays
+
+        loaded = load_arrays(registry, name, pkg_hash)
+        arrays = {k: loaded[f"{k}_data"] for k in ARRAY_KEYS}
+        return cls.from_nchw(arrays)
+
+    @classmethod
     def synthetic(cls, n: int, seed: int = 0) -> "TileDataset":
         """Random dataset with the reference tile shapes — for tests/benches."""
         rs = np.random.RandomState(seed)

@@ -108,6 +108,62 @@ def write_catalog_markdown(
     return text
 
 
+def write_folder_readmes(
+    data_dir: str, yaml_file: str = DEFAULT_MANIFEST
+) -> List[str]:
+    """Autogenerate ``<folder>/README.md`` per data folder from the manifest
+    (reference data_prep.py:168-205): one row per dataset GROUP, with
+    multi-file groups collapsed to "N *<ext> files", resolution and the
+    literature/data DOIs. Returns the paths written."""
+    import collections
+
+    records = parse_datalist(yaml_file)
+    by_folder: Dict[str, List[Dict]] = collections.defaultdict(list)
+    for r in records:
+        by_folder[r.get("folder", "misc")].append(r)
+
+    titles = {
+        "lowres": "Low Resolution",
+        "highres": "High Resolution",
+        "misc": "Miscellaneous",
+    }
+    written: List[str] = []
+    for folder, recs in sorted(by_folder.items()):
+        out_dir = os.path.join(data_dir, folder)
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, "README.md")
+        groups: Dict[str, List[Dict]] = collections.defaultdict(list)
+        for r in recs:
+            groups[r.get("group", r["filename"])].append(r)
+        lines = [
+            f"# {titles.get(folder, folder.title())} Antarctic datasets",
+            "",
+            "Note: this file was automatically generated from "
+            "[datasets.yml](/deepbedmap_tpu/data/datasets.yml) by "
+            "`deepbedmap_tpu.data.manifest.write_folder_readmes` "
+            "(reference: data_prep.py:168-205).",
+            "",
+            "| Filename | Resolution | Citation | Data DOI |",
+            "|---|---|---|---|",
+        ]
+        for group, rs in sorted(groups.items()):
+            if len(rs) == 1:
+                fname = rs[0]["filename"]
+            else:
+                ext = os.path.splitext(rs[0]["filename"])[-1]
+                fname = f"{len(rs)} *{ext} files"
+            doi = rs[0].get("doi", "")
+            doi_md = f"[DOI]({doi})" if doi else ""
+            lines.append(
+                f"| {fname} | {rs[0].get('resolution', '')} "
+                f"| {group} | {doi_md} |"
+            )
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        written.append(path)
+    return written
+
+
 def verify_datalist(
     yaml_file: str, root: str = ".", strict: bool = True
 ) -> Dict[str, bool]:

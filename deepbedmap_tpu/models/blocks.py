@@ -202,6 +202,31 @@ class ResidualDenseBlock(nn.Module):
         return a0 + self.residual_scaling * a5
 
 
+class _RDBParams(nn.Module):
+    """Parameter-only twin of ResidualDenseBlock: creates the identical
+    conv_layer1..5 param tree (same names, same init RNG streams) and hands
+    the tensors out, so the whole-RRDB fused launch can own the compute
+    while checkpoints stay bit-compatible."""
+
+    features: int
+    growth: int
+    init_scale: float
+
+    @nn.compact
+    def __call__(self):
+        f, g = self.features, self.growth
+        c_ins = (f, f + g, f + 2 * g, f + 3 * g, f + 4 * g)
+        c_outs = (g, g, g, g, f)
+        kernels, biases = [], []
+        for i, (ci, co) in enumerate(zip(c_ins, c_outs), start=1):
+            k, b = _Conv3x3Params(
+                co, ci, self.init_scale, name=f"conv_layer{i}"
+            )()
+            kernels.append(k)
+            biases.append(b)
+        return kernels, biases
+
+
 class ResInResDenseBlock(nn.Module):
     """3 chained dense blocks + scaled outer skip (reference srgan_train.py:364-404)."""
 
@@ -213,9 +238,31 @@ class ResInResDenseBlock(nn.Module):
     fused: str = "auto"
     mxu_bf16: bool = False
     resident_hw: tuple | None = None  # flat-resident mode (see ResidualDenseBlock)
+    # whole-RRDB fused launch (ops.pallas_rdb.rrdb_fused_flat): the 3 dense
+    # blocks + outer skip run as ONE kernel of three sequential passes over
+    # HBM ping-pong buffers — same MACs/traffic, 1/3 the launch boundaries.
+    # Only meaningful with resident_hw set.
+    rrdb_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.rrdb_fused and self.resident_hw is not None:
+            from deepbedmap_tpu.ops.pallas_rdb import rrdb_fused_flat
+
+            kernels, biases = [], []
+            for i in (1, 2, 3):
+                k, b = _RDBParams(
+                    self.features, self.growth, self.init_scale,
+                    name=f"residual_dense_block{i}",
+                )()
+                kernels.append(k)
+                biases.append(b)
+            h, w = self.resident_hw
+            return rrdb_fused_flat(
+                x.astype(jnp.float32), kernels, biases,
+                self.residual_scaling, h, w, 32, self.mxu_bf16,
+            )
+
         a = x
         for i in (1, 2, 3):
             a = ResidualDenseBlock(

@@ -87,6 +87,7 @@ class _RRDBStep(nn.Module):
     fused: str = "auto"
     mxu_bf16: bool = False
     resident_hw: tuple | None = None
+    rrdb_fused: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
@@ -99,6 +100,7 @@ class _RRDBStep(nn.Module):
             fused=self.fused,
             mxu_bf16=self.mxu_bf16,
             resident_hw=self.resident_hw,
+            rrdb_fused=self.rrdb_fused,
             name="block",
         )(carry)
         return out, None
@@ -164,6 +166,7 @@ class Generator(nn.Module):
             cfg.fused_rdb,
             cfg.rdb_mxu_bf16,
             (h_lat, w_lat) if resident else None,
+            cfg.rrdb_fused and resident,
             name="residual_network",
         )
         t_out, _ = trunk(t_in, None)

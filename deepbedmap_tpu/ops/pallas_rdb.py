@@ -693,3 +693,279 @@ def _rdb_flat_bwd(scaling, h, w, band, mxu_bf16, res, g):
 
 
 rdb_fused_flat.defvjp(_rdb_flat_fwd, _rdb_flat_bwd)
+
+
+def _rrdb_flat_kernel(
+    flat_ref,  # (N, R, Fp) ANY/HBM — RRDB input, margins zero
+    wx_ref,  # (3, ...) stacked per-RDB packed weights, VMEM
+    w1_ref,
+    w2_ref,
+    w3_ref,
+    w4_ref,
+    b_ref,  # (3, 1, F+4G)
+    out_ref,  # (N, R, Fp) ANY/HBM — RRDB output
+    t1_ref,  # (1, R, Fp) ANY/HBM scratch (RDB1 output)
+    t2_ref,  # (1, R, Fp) ANY/HBM scratch (RDB2 output)
+    xwin_ref,  # (2, E, Fp) VMEM
+    outs_ref,  # (2, band*wp, Fp) VMEM
+    xres_ref,  # (2, band*wp, Fp) VMEM — RRDB-skip band rows of flat_ref
+    zeros_ref,  # (_MARGIN*wp, Fp) VMEM
+    accx_ref,
+    acc1_ref,
+    acc2_ref,
+    acc3_ref,
+    in_sem,  # DMA (2,)
+    out_sem,  # DMA (2,)
+    z_sem,  # DMA (2,)
+    xr_sem,  # DMA (2,)
+    *,
+    n_bands: int,
+    band: int,
+    wp: int,
+    height: int,
+    width: int,
+    features: int,
+    growth: int,
+    scaling: float,
+    pack_dys: bool = False,
+    mxu_bf16: bool = False,
+):
+    """One whole RRDB (3 chained dense blocks + scaled outer skip) in a
+    single launch: three sequential full-image passes over HBM ping-pong
+    buffers (flat -> t1 -> t2 -> out), each pass the same double-buffered
+    band loop as ``_rdb_flat_kernel``. Identical HBM traffic and identical
+    MACs to three separate launches — what it removes is two XLA
+    custom-call boundaries (and their launch sync) per RRDB, 36 -> 12 for
+    the 12-RRDB trunk. The outer skip rides the third pass: band rows of
+    ``flat_ref`` stream in through ``xres_ref`` and the masked RDB3 output
+    is folded as  out = x + scaling * rdb3."""
+    img = pl.program_id(0)
+    e = (band + 2 * _MARGIN) * wp
+    mw = _MARGIN * wp
+    hp = n_bands * band
+
+    def src_at(p, sl):
+        if p == 0:
+            return flat_ref.at[img, sl, :]
+        return (t1_ref if p == 1 else t2_ref).at[0, sl, :]
+
+    def dst_at(p, sl):
+        if p == 2:
+            return out_ref.at[img, sl, :]
+        return (t1_ref if p == 0 else t2_ref).at[0, sl, :]
+
+    zeros_ref[...] = jnp.zeros_like(zeros_ref)
+
+    for p in range(3):  # statically unrolled: one band loop per dense block
+        def in_dma(slot, i, p=p):
+            return pltpu.make_async_copy(
+                src_at(p, pl.ds(i * band * wp, e)),
+                xwin_ref.at[slot],
+                in_sem.at[slot],
+            )
+
+        def out_dma(slot, i, p=p):
+            return pltpu.make_async_copy(
+                outs_ref.at[slot],
+                dst_at(p, pl.ds(mw + i * band * wp, band * wp)),
+                out_sem.at[slot],
+            )
+
+        def xr_dma(slot, i):
+            return pltpu.make_async_copy(
+                flat_ref.at[img, pl.ds(mw + i * band * wp, band * wp), :],
+                xres_ref.at[slot],
+                xr_sem.at[slot],
+            )
+
+        # freshly allocated dst needs zero margins before the NEXT pass (or
+        # the next launch, for out_ref) reads them as part of its windows
+        zt = pltpu.make_async_copy(
+            zeros_ref, dst_at(p, pl.ds(0, mw)), z_sem.at[0]
+        )
+        zb = pltpu.make_async_copy(
+            zeros_ref, dst_at(p, pl.ds(mw + hp * wp, mw)), z_sem.at[1]
+        )
+        zt.start()
+        zb.start()
+
+        in_dma(0, 0).start()
+        if p == 2:
+            xr_dma(0, 0).start()
+
+        def body(i, _, p=p):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_bands)
+            def _():
+                in_dma(1 - slot, i + 1).start()
+                if p == 2:
+                    xr_dma(1 - slot, i + 1).start()
+
+            in_dma(slot, i).wait()
+
+            @pl.when(i >= 2)
+            def _():
+                out_dma(slot, i - 2).wait()
+
+            band_out = _band_compute(
+                xwin_ref[slot][:, :features],
+                wx_ref[p], w1_ref[p], w2_ref[p], w3_ref[p], w4_ref[p],
+                b_ref[p],
+                accx_ref, acc1_ref, acc2_ref, acc3_ref,
+                i * band - _MARGIN,
+                band=band, wp=wp, height=height, width=width,
+                features=features, growth=growth, scaling=scaling,
+                pack_dys=pack_dys, mxu_bf16=mxu_bf16, mask_out=True,
+            )
+            if p == 2:
+                # RRDB outer skip: x band rows are zero on pad cols /
+                # out-of-image rows, band_out is masked — the sum keeps the
+                # resident-layout zero invariant
+                xr_dma(slot, i).wait()
+                band_out = (
+                    xres_ref[slot][:, :features] + scaling * band_out
+                )
+            lanes = outs_ref.shape[-1]
+            if lanes > features:
+                band_out = jnp.concatenate(
+                    [band_out,
+                     jnp.zeros((band * wp, lanes - features), band_out.dtype)],
+                    axis=1,
+                )
+            outs_ref[slot] = band_out
+            out_dma(slot, i).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_bands, body, 0)
+
+        # drain before the next pass reads this pass's dst
+        if n_bands >= 2:
+            out_dma((n_bands - 2) % 2, n_bands - 2).wait()
+        out_dma((n_bands - 1) % 2, n_bands - 1).wait()
+        zt.wait()
+        zb.wait()
+
+
+def rrdb_pallas_flat(
+    flat: jax.Array,  # (N, R, Fp) fp32 flat layout (see flatten_rdb)
+    kernels,  # sequence of 3 per-RDB kernel lists (5 HWIO arrays each)
+    biases,  # sequence of 3 per-RDB bias lists
+    scaling: float,
+    *,
+    h: int,
+    w: int,
+    band: int = 32,
+    interpret: bool = False,
+    pack_dys: bool = True,
+    mxu_bf16: bool = False,
+) -> jax.Array:
+    """Whole residual-in-residual dense block on the resident flat layout
+    (see ``_rrdb_flat_kernel``). Same math as three ``rdb_pallas_flat``
+    launches plus the scaled outer skip; 1/3 the custom-call boundaries."""
+    n, r, fp = flat.shape
+    f = kernels[0][0].shape[2]
+    assert fp == -(-f // _LANES) * _LANES, (fp, f)
+    g = kernels[0][0].shape[-1]
+    wp = w + 2
+    assert wp % 8 == 0, f"W+2 must be a multiple of 8, got {w}"
+    n_bands = -(-h // band)
+    assert r == (n_bands * band + 2 * _MARGIN) * wp, (r, h, w, band)
+    e = (band + 2 * _MARGIN) * wp
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    per_rdb = [_pack_weights(k, f, g, pack_dys=pack_dys) for k in kernels]
+    stacked = [
+        jnp.stack([per_rdb[p][s] for p in range(3)]) for s in range(5)
+    ]
+    if mxu_bf16:
+        stacked = [p_.astype(jnp.bfloat16) for p_ in stacked]
+    b_all = jnp.stack([jnp.concatenate(bs)[None, :] for bs in biases])
+
+    kernel = functools.partial(
+        _rrdb_flat_kernel,
+        n_bands=n_bands,
+        band=band,
+        wp=wp,
+        height=h,
+        width=w,
+        features=f,
+        growth=g,
+        scaling=scaling,
+        pack_dys=pack_dys,
+        mxu_bf16=mxu_bf16,
+    )
+    out, _t1, _t2 = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, r, fp), jnp.float32),
+            jax.ShapeDtypeStruct((1, r, fp), jnp.float32),
+            jax.ShapeDtypeStruct((1, r, fp), jnp.float32),
+        ],
+        grid=(n,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [
+            pl.BlockSpec(p_.shape, lambda i, nd=p_.ndim: (0,) * nd)
+            for p_ in stacked
+        ]
+        + [pl.BlockSpec(b_all.shape, lambda i: (0, 0, 0))],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, e, fp), jnp.float32),
+            pltpu.VMEM((2, band * wp, fp), jnp.float32),
+            pltpu.VMEM((2, band * wp, fp), jnp.float32),
+            pltpu.VMEM((_MARGIN * wp, fp), jnp.float32),
+            pltpu.VMEM((e, f + 4 * g), jnp.float32),
+            pltpu.VMEM((e, f + 3 * g), jnp.float32),
+            pltpu.VMEM((e, f + 2 * g), jnp.float32),
+            pltpu.VMEM((e, f + g), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(flat, *stacked, b_all)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def rrdb_fused_flat(flat, kernels, biases, scaling, h, w, band=32, mxu_bf16=False):
+    return rrdb_pallas_flat(
+        flat, kernels, biases, scaling, h=h, w=w, band=band, mxu_bf16=mxu_bf16
+    )
+
+
+def _rrdb_flat_reference(flat, kernels, biases, scaling, h, w, band):
+    """flat -> flat through the XLA composition of the whole RRDB (oracle
+    and backward for the fused launch)."""
+    x = unflatten_rdb(flat, h, w, band, features=kernels[0][0].shape[2])
+    a = x
+    for p in range(3):
+        a = rdb_reference(a, kernels[p], biases[p], scaling)
+    return flatten_rdb(x + scaling * a, band)
+
+
+def _rrdb_flat_fwd(flat, kernels, biases, scaling, h, w, band, mxu_bf16):
+    return rrdb_pallas_flat(
+        flat, kernels, biases, scaling, h=h, w=w, band=band, mxu_bf16=mxu_bf16
+    ), (flat, tuple(tuple(k) for k in kernels), tuple(tuple(b) for b in biases))
+
+
+def _rrdb_flat_bwd(scaling, h, w, band, mxu_bf16, res, g):
+    flat, kernels, biases = res
+    _, vjp = jax.vjp(
+        lambda f_, k_, b_: _rrdb_flat_reference(f_, k_, b_, scaling, h, w, band),
+        flat, [list(k) for k in kernels], [list(b) for b in biases],
+    )
+    return vjp(g)
+
+
+rrdb_fused_flat.defvjp(_rrdb_flat_fwd, _rrdb_flat_bwd)

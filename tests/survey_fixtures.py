@@ -55,11 +55,19 @@ def make_survey_miniature(
     n_points: int = 1200,
     seed: int = 0,
     span_m: float = 2500.0,
+    origin: "tuple | None" = None,
 ):
     """Write miniature survey file(s) for ``config_path`` into ``out_dir``.
 
     Returns the expected (x, y, z) DataFrame — projected EPSG:3031 metres —
     that ``ascii_to_xyz(config_path, data_dir=out_dir)`` must produce.
+
+    ``origin``: lower-left corner of the survey's span_m x span_m patch in
+    projected EPSG:3031 metres. Defaults keep the historical placement
+    (origin (0, 0) for projected-coordinate surveys; the West Antarctica
+    lon/lat patch for reprojection surveys). The scale rehearsal
+    (tests/test_dataprep_scale.py) positions all 11 surveys on a mosaic so
+    one set of continental conditioning rasters covers them.
     """
     with open(config_path) as f:
         doc = json.load(f)
@@ -74,14 +82,24 @@ def make_survey_miniature(
 
     rs = np.random.RandomState(seed)
     if reproj:
-        # lon/lat patch in West Antarctica; projected by the pipeline
-        lon = rs.uniform(-100.0, -99.8, n_points)
-        lat = rs.uniform(-76.0, -75.98, n_points)
-        px, py = lonlat_to_xy(lon, lat)
+        from deepbedmap_tpu.data.proj import xy_to_lonlat
+
+        if origin is None:
+            # historical placement: the West Antarctica lon/lat patch center
+            ox, oy = lonlat_to_xy(np.array([-99.9]), np.array([-75.99]))
+            origin = (float(ox[0]) - span_m / 2, float(oy[0]) - span_m / 2)
+        px = rs.uniform(origin[0], origin[0] + span_m, n_points)
+        py = rs.uniform(origin[1], origin[1] + span_m, n_points)
+        # write lon/lat to file; the pipeline reprojects back (sub-nm
+        # roundtrip, tests/test_data.py proj goldens)
+        lon, lat = xy_to_lonlat(px, py)
+        px, py = lonlat_to_xy(lon, lat)  # exact pipeline output coords
         file_x, file_y = lon, lat
     else:
-        px = rs.uniform(0.0, span_m, n_points)
-        py = rs.uniform(0.0, span_m, n_points)
+        if origin is None:
+            origin = (0.0, 0.0)
+        px = rs.uniform(origin[0], origin[0] + span_m, n_points)
+        py = rs.uniform(origin[1], origin[1] + span_m, n_points)
         file_x, file_y = px, py
     z = bed_elevation(np.asarray(px), np.asarray(py))
 

@@ -293,3 +293,110 @@ def test_rdb_flat_mxu_bf16_parity():
         np.asarray(unflatten_rdb(flat, 13, 14, band=4, features=F)),
         np.asarray(banded)
     )
+
+
+# --------------------------- whole-RRDB fused launch ---------------------------
+
+
+def test_rrdb_flat_matches_xla_composition():
+    """The whole-RRDB launch (3 sequential passes + outer skip in one
+    kernel) == the XLA composition of 3 dense blocks + skip, and the
+    resident-buffer zero invariant holds on its output."""
+    from deepbedmap_tpu.ops.pallas_rdb import (
+        flatten_rdb,
+        rrdb_pallas_flat,
+        unflatten_rdb,
+    )
+
+    rs = np.random.RandomState(21)
+    x = jnp.asarray(rs.randn(2, 13, 14, F).astype(np.float32))
+    sets = [_params(seed=30 + i) for i in range(3)]
+    kernels = [s[0] for s in sets]
+    biases = [s[1] for s in sets]
+
+    out_flat = rrdb_pallas_flat(
+        flatten_rdb(x, band=4), kernels, biases, 0.2, h=13, w=14, band=4
+    )
+    got = unflatten_rdb(out_flat, 13, 14, band=4, features=F)
+
+    r = x
+    for ks, bs in zip(kernels, biases):
+        r = rdb_reference(r, ks, bs, 0.2)
+    ref = x + 0.2 * r
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=2e-5)
+    of = np.asarray(out_flat)
+    assert np.all(of[:, ~_flat_mask(13, 14, 4), :] == 0.0), (
+        "resident-buffer invariant broken by the RRDB launch"
+    )
+
+
+def test_rrdb_flat_equals_three_rdb_flat_launches():
+    """Boundary-fusion must be a pure launch-structure change: bit-identical
+    to the three per-RDB flat launches + flat skip it replaces."""
+    from deepbedmap_tpu.ops.pallas_rdb import (
+        flatten_rdb,
+        rdb_pallas_flat,
+        rrdb_pallas_flat,
+    )
+
+    rs = np.random.RandomState(22)
+    x = jnp.asarray(rs.randn(1, 12, 14, F).astype(np.float32))
+    sets = [_params(seed=40 + i) for i in range(3)]
+    kernels = [s[0] for s in sets]
+    biases = [s[1] for s in sets]
+
+    flat = flatten_rdb(x, band=4)
+    a = flat
+    for ks, bs in zip(kernels, biases):
+        a = rdb_pallas_flat(a, ks, bs, 0.2, h=12, w=14, band=4)
+    per_rdb = flat + 0.2 * a
+
+    fused = rrdb_pallas_flat(flat, kernels, biases, 0.2, h=12, w=14, band=4)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(per_rdb))
+
+
+def test_rrdb_flat_gradients_match_xla():
+    from deepbedmap_tpu.ops.pallas_rdb import (
+        flatten_rdb,
+        rrdb_fused_flat,
+        unflatten_rdb,
+    )
+
+    sets = [_params(seed=50 + i) for i in range(3)]
+    kernels = [list(s[0]) for s in sets]
+    biases = [list(s[1]) for s in sets]
+    rs = np.random.RandomState(23)
+    x = jnp.asarray(rs.randn(1, 8, 6, F).astype(np.float32))
+
+    def loss_fused(x, ks, bs):
+        out = rrdb_fused_flat(flatten_rdb(x, band=4), ks, bs, 0.2, 8, 6, 4)
+        return jnp.sum(unflatten_rdb(out, 8, 6, band=4, features=F) ** 2)
+
+    def loss_ref(x, ks, bs):
+        r = x
+        for k_, b_ in zip(ks, bs):
+            r = rdb_reference(r, k_, b_, 0.2)
+        return jnp.sum((x + 0.2 * r) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, kernels, biases)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, kernels, biases)
+    for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_generator_rrdb_fused_parity():
+    """End-to-end: the generator with rrdb_fused=True is bit-identical to
+    the per-RDB resident trunk (same params tree, same output)."""
+    from deepbedmap_tpu.config import GeneratorConfig
+    from deepbedmap_tpu.models import build_generator
+    from deepbedmap_tpu.models.api import example_inputs_nhwc
+
+    base = dict(num_residual_blocks=2, rdb_resident="always", fused_rdb="always")
+    m0, p0 = build_generator(GeneratorConfig(**base, rrdb_fused=False), lr=16)
+    m1, p1 = build_generator(GeneratorConfig(**base, rrdb_fused=True), lr=16)
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    x, w1, w2, w3 = example_inputs_nhwc(1, 16)
+    o0 = m0.apply({"params": p0}, x, w1, w2, w3)
+    o1 = m1.apply({"params": p1}, x, w1, w2, w3)
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
