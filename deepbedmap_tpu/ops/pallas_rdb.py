@@ -218,7 +218,7 @@ def _band_compute(
         + acc1_ref[lo:hi, 3 * G :]
         + acc2_ref[lo:hi, 2 * G :]
         + acc3_ref[lo:hi, G:]
-        + b_ref[0, 4 * G :]
+        + b_ref[0, 4 * G : 4 * G + F]
     )
     if pack_dys:
         # one (band+2)*wp x 3F dot, shifted lane-sliced adds as above
@@ -810,8 +810,12 @@ def _rrdb_flat_kernel(
 
             band_out = _band_compute(
                 xwin_ref[slot][:, :features],
-                wx_ref[p], w1_ref[p], w2_ref[p], w3_ref[p], w4_ref[p],
-                b_ref[p],
+                # .at[p] ref views (not value loads): in-kernel reads stay
+                # lazy exactly like the per-RDB kernel's whole-ref access;
+                # eager `ref[p]` loads force offset relayouts Mosaic
+                # rejects ("Invalid input layout") on the bias row slices
+                wx_ref.at[p], w1_ref.at[p], w2_ref.at[p], w3_ref.at[p],
+                w4_ref.at[p], b_ref.at[p],
                 accx_ref, acc1_ref, acc2_ref, acc3_ref,
                 i * band - _MARGIN,
                 band=band, wp=wp, height=height, width=width,
@@ -880,7 +884,13 @@ def rrdb_pallas_flat(
     ]
     if mxu_bf16:
         stacked = [p_.astype(jnp.bfloat16) for p_ in stacked]
-    b_all = jnp.stack([jnp.concatenate(bs)[None, :] for bs in biases])
+    # lane-pad the stacked bias to a 128-multiple: the per-pass `.at[p]`
+    # ref view must slice full (tile-aligned) lane extents on TPU
+    b_cat = [jnp.concatenate(bs)[None, :] for bs in biases]
+    b_lanes = -(-b_cat[0].shape[-1] // _LANES) * _LANES
+    b_all = jnp.stack([
+        jnp.pad(bc, ((0, 0), (0, b_lanes - bc.shape[-1]))) for bc in b_cat
+    ])
 
     kernel = functools.partial(
         _rrdb_flat_kernel,
