@@ -64,6 +64,8 @@ def main() -> None:
         upsample_phase_conv=os.environ.get(
             "PHASE_UP", "1" if cfg.upsample_phase_conv else "0") == "1",
         rdb_resident=os.environ.get("RDB_RESIDENT", cfg.rdb_resident),
+        rrdb_fused=os.environ.get(
+            "RRDB_FUSED", "1" if cfg.rrdb_fused else "0") == "1",
     )
     model, params = build_generator(cfg, lr=11)
 

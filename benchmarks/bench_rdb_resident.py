@@ -240,3 +240,48 @@ if os.environ.get("RRDB", "") == "1":
         f"(rel {d2 / scale:.3e})"
     )
 log("DONE")
+
+# --- stage 4 (SWEEP=1): software-pipelined single-sweep RRDB ---
+# VMEM-ring intermediates: 3 HBM image transits per RRDB vs the 3-pass
+# fused kernel's 7; same MACs.
+if os.environ.get("SWEEP", "") == "1":
+    from deepbedmap_tpu.ops.pallas_rdb import (
+        rrdb_pallas_flat, rrdb_sweep_pallas_flat,
+    )
+
+    k3s = [kernels] * 3
+    b3s = [biases] * 3
+
+    def trunk_sweep(a):
+        f = flatten_rdb(a)
+
+        def body(c, _):
+            return rrdb_sweep_pallas_flat(
+                c, k3s, b3s, 0.2, h=LAT, w=LAT, mxu_bf16=MXU_BF16
+            ), None
+
+        out, _ = lax.scan(body, f, None, length=12)
+        return unflatten_rdb(out, LAT, LAT, features=64)
+
+    log("stage 4: compiling single-sweep RRDB at the flagship shape...")
+    one_sweep = jax.jit(
+        lambda f: rrdb_sweep_pallas_flat(
+            f, k3s, b3s, 0.2, h=LAT, w=LAT, mxu_bf16=MXU_BF16
+        )
+    )
+    got_sw = one_sweep(flat_in)
+    ref_one_sw = jax.jit(
+        lambda f: rrdb_pallas_flat(f, k3s, b3s, 0.2, h=LAT, w=LAT, mxu_bf16=MXU_BF16)
+    )(flat_in)
+    d1s = float(jnp.abs(got_sw - ref_one_sw).max())
+    rel_s = d1s / float(jnp.abs(ref_one_sw).max())
+    log(f"stage 4 numerics: one RRDB sweep-vs-fused max abs {d1s:.3e} (rel {rel_s:.3e})")
+    assert rel_s < (1e-2 if MXU_BF16 else 1e-5), (d1s, rel_s)
+
+    t_one_sweep = bench(one_sweep, flat_in)
+    log(f"one RRDB @{LAT}^2 x{BATCH}: sweep(1 launch, VMEM rings) {t_one_sweep:.2f} ms")
+
+    log("stage 4: compiling sweep 12-block trunk...")
+    tsw = bench(jax.jit(trunk_sweep), x, iters=5)
+    log(f"sweep trunk: {tsw:.1f} ms ({tsw / BATCH:.1f} ms/tile)")
+log("DONE2")

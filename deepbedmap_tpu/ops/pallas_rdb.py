@@ -979,3 +979,295 @@ def _rrdb_flat_bwd(scaling, h, w, band, mxu_bf16, res, g):
 
 
 rrdb_fused_flat.defvjp(_rrdb_flat_fwd, _rrdb_flat_bwd)
+
+
+def _rrdb_sweep_kernel(
+    flat_ref,  # (N, R, Fp) ANY/HBM — resident flat layout, margins zero
+    wx_ref,  # (3, ...) stacked per-RDB packed weights, VMEM
+    w1_ref,
+    w2_ref,
+    w3_ref,
+    w4_ref,
+    b_ref,  # (3, 1, ceil(F+4G -> 128)) lane-padded stacked biases, VMEM
+    out_ref,  # (N, R, Fp) ANY/HBM — RRDB output
+    xwin_ref,  # (2, E, Fp) VMEM — double-buffered pass-0 input windows
+    outs_ref,  # (2, band*wp, Fp) VMEM — double-buffered output bands
+    xres_ref,  # (2, band*wp, Fp) VMEM — RRDB-skip band rows of flat_ref
+    zeros_ref,  # (_MARGIN*wp, Fp) VMEM
+    t1_ring,  # (3, band*wp, F) VMEM — RDB1 output ring (never touches HBM)
+    t2_ring,  # (3, band*wp, F) VMEM — RDB2 output ring
+    asm_ref,  # (E, F) VMEM — window assembled from a ring
+    accx_ref,
+    acc1_ref,
+    acc2_ref,
+    acc3_ref,
+    in_sem,  # DMA (2,)
+    out_sem,  # DMA (2,)
+    z_sem,  # DMA (2,)
+    xr_sem,  # DMA (2,)
+    *,
+    n_bands: int,
+    band: int,
+    wp: int,
+    height: int,
+    width: int,
+    features: int,
+    growth: int,
+    scaling: float,
+    pack_dys: bool = False,
+    mxu_bf16: bool = False,
+):
+    """One whole RRDB in a single launch as a SOFTWARE-PIPELINED SWEEP: the
+    three chained dense blocks advance together, one band apart, with the
+    two intermediate images (RDB1/RDB2 outputs) held in 3-slot VMEM ring
+    buffers instead of HBM ping-pong buffers. Per RRDB this is 3 HBM image
+    transits (read x, read x again for the outer skip, write out) vs the
+    3-pass fused kernel's 7 — identical MACs, same masked-band invariants.
+
+    Schedule (iteration i of n_bands+2): stage A computes RDB1 band i from
+    the DMA'd flat window; stage B computes RDB2 band i-1 from t1 bands
+    i-2..i (ring); stage C computes RDB3 band i-2 from t2 bands i-3..i-1,
+    folds the scaled outer skip and DMAs the band out. Ring slots are
+    (band index mod 3); a slot is always consumed before its overwrite."""
+    img = pl.program_id(0)
+    e = (band + 2 * _MARGIN) * wp
+    mw = _MARGIN * wp
+    bw = band * wp
+    hp = n_bands * band
+    F = features
+
+    def in_dma(slot, i):
+        return pltpu.make_async_copy(
+            flat_ref.at[img, pl.ds(i * bw, e), :],
+            xwin_ref.at[slot],
+            in_sem.at[slot],
+        )
+
+    def xr_dma(slot, k):
+        return pltpu.make_async_copy(
+            flat_ref.at[img, pl.ds(mw + k * bw, bw), :],
+            xres_ref.at[slot],
+            xr_sem.at[slot],
+        )
+
+    def out_dma(slot, k):
+        return pltpu.make_async_copy(
+            outs_ref.at[slot],
+            out_ref.at[img, pl.ds(mw + k * bw, bw)],
+            out_sem.at[slot],
+        )
+
+    zeros_ref[...] = jnp.zeros_like(zeros_ref)
+    zt = pltpu.make_async_copy(zeros_ref, out_ref.at[img, pl.ds(0, mw)], z_sem.at[0])
+    zb = pltpu.make_async_copy(
+        zeros_ref, out_ref.at[img, pl.ds(mw + hp * wp, mw)], z_sem.at[1]
+    )
+    zt.start()
+    zb.start()
+    in_dma(0, 0).start()
+
+    def assemble(ring, j):
+        """asm <- ring rows for window j*band - margin .. (j+1)*band + margin,
+        zero outside [0, n_bands) bands."""
+        sm = jax.lax.rem
+        lo_slot = sm(j - 1 + 3, 3)
+        hi_slot = sm(j + 1, 3)
+
+        @pl.when(j >= 1)
+        def _():
+            asm_ref[0:mw] = ring[lo_slot, bw - mw :, :]
+
+        @pl.when(j == 0)
+        def _():
+            asm_ref[0:mw] = jnp.zeros((mw, F), asm_ref.dtype)
+
+        asm_ref[mw : mw + bw] = ring[sm(j, 3)]
+
+        @pl.when(j + 1 < n_bands)
+        def _():
+            asm_ref[mw + bw :] = ring[hi_slot, :mw, :]
+
+        @pl.when(j + 1 >= n_bands)
+        def _():
+            asm_ref[mw + bw :] = jnp.zeros((mw, F), asm_ref.dtype)
+
+    def stage(x_window, p, row0, idx):
+        return _band_compute(
+            x_window,
+            wx_ref.at[p], w1_ref.at[p], w2_ref.at[p], w3_ref.at[p],
+            w4_ref.at[p], b_ref.at[p],
+            accx_ref, acc1_ref, acc2_ref, acc3_ref,
+            row0,
+            band=band, wp=wp, height=height, width=width,
+            features=features, growth=growth, scaling=scaling,
+            pack_dys=pack_dys, mxu_bf16=mxu_bf16, mask_out=True,
+        )
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        # prefetch next flat window + the skip rows for stage C of i+1
+        @pl.when(i + 1 < n_bands)
+        def _():
+            in_dma(1 - slot, i + 1).start()
+
+        @pl.when((i >= 1) & (i <= n_bands))
+        def _():
+            xr_dma(jax.lax.rem(i - 1, 2), i - 1).start()
+
+        # stage A: RDB1 band i
+        @pl.when(i < n_bands)
+        def _():
+            in_dma(slot, i).wait()
+            t1_ring[jax.lax.rem(i, 3)] = stage(
+                xwin_ref[slot][:, :F], 0, i * band - _MARGIN, i
+            )
+
+        # stage B: RDB2 band i-1 from the t1 ring
+        @pl.when((i >= 1) & (i - 1 < n_bands))
+        def _():
+            j = i - 1
+            assemble(t1_ring, j)
+            t2_ring[jax.lax.rem(j, 3)] = stage(
+                asm_ref[...], 1, j * band - _MARGIN, j
+            )
+
+        # stage C: RDB3 band i-2 + scaled outer skip -> out
+        @pl.when(i >= 2)
+        def _():
+            k = i - 2
+            oslot = jax.lax.rem(k, 2)
+
+            @pl.when(k >= 2)
+            def _():
+                out_dma(jax.lax.rem(k - 2, 2), k - 2).wait()
+
+            assemble(t2_ring, k)
+            band_out = stage(asm_ref[...], 2, k * band - _MARGIN, k)
+            xr_dma(oslot, k).wait()
+            band_out = xres_ref[oslot][:, :F] + scaling * band_out
+            lanes = outs_ref.shape[-1]
+            if lanes > F:
+                band_out = jnp.concatenate(
+                    [band_out, jnp.zeros((bw, lanes - F), band_out.dtype)],
+                    axis=1,
+                )
+            outs_ref[oslot] = band_out
+            out_dma(oslot, k).start()
+
+        return 0
+
+    jax.lax.fori_loop(0, n_bands + 2, body, 0)
+
+    if n_bands >= 2:
+        out_dma(jax.lax.rem(n_bands - 2, 2), n_bands - 2).wait()
+    out_dma(jax.lax.rem(n_bands - 1, 2), n_bands - 1).wait()
+    zt.wait()
+    zb.wait()
+
+
+def rrdb_sweep_pallas_flat(
+    flat: jax.Array,  # (N, R, Fp) fp32 flat layout (see flatten_rdb)
+    kernels,  # sequence of 3 per-RDB kernel lists (5 HWIO arrays each)
+    biases,  # sequence of 3 per-RDB bias lists
+    scaling: float,
+    *,
+    h: int,
+    w: int,
+    band: int = 32,
+    interpret: bool = False,
+    pack_dys: bool = True,
+    mxu_bf16: bool = False,
+) -> jax.Array:
+    """Whole RRDB as a single software-pipelined sweep (see
+    ``_rrdb_sweep_kernel``): intermediates live in VMEM rings, HBM sees the
+    input twice (window + skip) and the output once."""
+    n, r, fp = flat.shape
+    f = kernels[0][0].shape[2]
+    assert fp == -(-f // _LANES) * _LANES, (fp, f)
+    g = kernels[0][0].shape[-1]
+    wp = w + 2
+    n_bands = -(-h // band)
+    e = (band + 2 * _MARGIN) * wp
+    assert r == n_bands * band * wp + 2 * _MARGIN * wp, (r, n_bands, band, wp)
+    # the ring window spans at most one band each side of the current one
+    assert band >= _MARGIN, (band, _MARGIN)
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    stacked = [
+        jnp.stack(parts)
+        for parts in zip(*[
+            _pack_weights(ks, f, g, pack_dys=pack_dys) for ks in kernels
+        ])
+    ]
+    if mxu_bf16:
+        stacked = [p_.astype(jnp.bfloat16) for p_ in stacked]
+    b_cat = [jnp.concatenate(bs)[None, :] for bs in biases]
+    b_lanes = -(-b_cat[0].shape[-1] // _LANES) * _LANES
+    b_all = jnp.stack([
+        jnp.pad(bc, ((0, 0), (0, b_lanes - bc.shape[-1]))) for bc in b_cat
+    ])
+
+    kernel = functools.partial(
+        _rrdb_sweep_kernel,
+        n_bands=n_bands,
+        band=band,
+        wp=wp,
+        height=h,
+        width=w,
+        features=f,
+        growth=g,
+        scaling=scaling,
+        pack_dys=pack_dys,
+        mxu_bf16=mxu_bf16,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, r, fp), jnp.float32),
+        grid=(n,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [
+            pl.BlockSpec(p_.shape, lambda i, nd=p_.ndim: (0,) * nd)
+            for p_ in stacked
+        ]
+        + [pl.BlockSpec(b_all.shape, lambda i: (0, 0, 0))],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, e, fp), jnp.float32),
+            pltpu.VMEM((2, band * wp, fp), jnp.float32),
+            pltpu.VMEM((2, band * wp, fp), jnp.float32),
+            pltpu.VMEM((_MARGIN * wp, fp), jnp.float32),
+            pltpu.VMEM((3, band * wp, f), jnp.float32),
+            pltpu.VMEM((3, band * wp, f), jnp.float32),
+            pltpu.VMEM((e, f), jnp.float32),
+            pltpu.VMEM((e, f + 4 * g), jnp.float32),
+            pltpu.VMEM((e, f + 3 * g), jnp.float32),
+            pltpu.VMEM((e, f + 2 * g), jnp.float32),
+            pltpu.VMEM((e, f + g), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(flat, *stacked, b_all)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def rrdb_sweep_flat(flat, kernels, biases, scaling, h, w, band=32, mxu_bf16=False):
+    return rrdb_sweep_pallas_flat(
+        flat, kernels, biases, scaling, h=h, w=w, band=band, mxu_bf16=mxu_bf16
+    )
+
+
+def _rrdb_sweep_fwd(flat, kernels, biases, scaling, h, w, band, mxu_bf16):
+    return rrdb_sweep_pallas_flat(
+        flat, kernels, biases, scaling, h=h, w=w, band=band, mxu_bf16=mxu_bf16
+    ), (flat, tuple(tuple(k) for k in kernels), tuple(tuple(b) for b in biases))
+
+
+rrdb_sweep_flat.defvjp(_rrdb_sweep_fwd, _rrdb_flat_bwd)

@@ -400,3 +400,67 @@ def test_generator_rrdb_fused_parity():
     o0 = m0.apply({"params": p0}, x, w1, w2, w3)
     o1 = m1.apply({"params": p1}, x, w1, w2, w3)
     np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
+# ------------------------ single-sweep RRDB (VMEM rings) ------------------------
+
+
+def test_rrdb_sweep_matches_fused_launch():
+    """The software-pipelined sweep (stages one band apart, t1/t2 in VMEM
+    rings — 3 HBM image transits per RRDB vs the 3-pass kernel's 7) must
+    match the 3-pass fused launch. Tolerance is fp32 rounding, not bit
+    equality: the sweep's stages sit under pl.when conditionals, which
+    changes XLA's fusion/reassociation of the identical op sequence in
+    interpret mode (~5e-7 observed); band >= _MARGIN is required so the
+    ring window spans at most one band each side."""
+    from deepbedmap_tpu.ops.pallas_rdb import (
+        flatten_rdb,
+        rrdb_pallas_flat,
+        rrdb_sweep_pallas_flat,
+    )
+
+    rs = np.random.RandomState(23)
+    x = jnp.asarray(rs.randn(2, 22, 14, F).astype(np.float32))
+    sets = [_params(seed=50 + i) for i in range(3)]
+    kernels = [s[0] for s in sets]
+    biases = [s[1] for s in sets]
+
+    flat = flatten_rdb(x, band=8)
+    fused = rrdb_pallas_flat(flat, kernels, biases, 0.2, h=22, w=14, band=8)
+    sweep = rrdb_sweep_pallas_flat(flat, kernels, biases, 0.2, h=22, w=14, band=8)
+    np.testing.assert_allclose(
+        np.asarray(sweep), np.asarray(fused), rtol=1e-5, atol=1e-5
+    )
+    sf = np.asarray(sweep)
+    assert np.all(sf[:, ~_flat_mask(22, 14, 8), :] == 0.0), (
+        "resident-buffer invariant broken by the sweep launch"
+    )
+
+
+def test_rrdb_sweep_gradients_match_xla():
+    """rrdb_sweep_flat's custom VJP routes the backward through the XLA
+    reference composition (same contract as rrdb_fused_flat)."""
+    from deepbedmap_tpu.ops.pallas_rdb import (
+        flatten_rdb,
+        rrdb_sweep_flat,
+        _rrdb_flat_reference,
+    )
+
+    rs = np.random.RandomState(24)
+    x = jnp.asarray(rs.randn(1, 16, 14, F).astype(np.float32))
+    sets = [_params(seed=60 + i) for i in range(3)]
+    ks = [list(s[0]) for s in sets]
+    bs = [list(s[1]) for s in sets]
+    flat = flatten_rdb(x, band=8)
+
+    def loss_sweep(f):
+        return jnp.sum(rrdb_sweep_flat(f, ks, bs, 0.2, 16, 14, 8) ** 2)
+
+    def loss_ref(f):
+        return jnp.sum(_rrdb_flat_reference(f, ks, bs, 0.2, 16, 14, 8) ** 2)
+
+    g_sweep = jax.grad(loss_sweep)(flat)
+    g_ref = jax.grad(loss_ref)(flat)
+    np.testing.assert_allclose(
+        np.asarray(g_sweep), np.asarray(g_ref), rtol=1e-3, atol=1e-3
+    )
