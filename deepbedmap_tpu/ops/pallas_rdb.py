@@ -992,11 +992,10 @@ def _rrdb_sweep_kernel(
     out_ref,  # (N, R, Fp) ANY/HBM — RRDB output
     xwin_ref,  # (2, E, Fp) VMEM — double-buffered pass-0 input windows
     outs_ref,  # (2, band*wp, Fp) VMEM — double-buffered output bands
-    xres_ref,  # (2, band*wp, Fp) VMEM — RRDB-skip band rows of flat_ref
+    xres_ref,  # (1, band*wp, Fp) VMEM — RRDB-skip band rows of flat_ref
     zeros_ref,  # (_MARGIN*wp, Fp) VMEM
     t1_ring,  # (3, band*wp, F) VMEM — RDB1 output ring (never touches HBM)
     t2_ring,  # (3, band*wp, F) VMEM — RDB2 output ring
-    asm_ref,  # (E, F) VMEM — window assembled from a ring
     accx_ref,
     acc1_ref,
     acc2_ref,
@@ -1043,11 +1042,11 @@ def _rrdb_sweep_kernel(
             in_sem.at[slot],
         )
 
-    def xr_dma(slot, k):
+    def xr_dma(k):
         return pltpu.make_async_copy(
             flat_ref.at[img, pl.ds(mw + k * bw, bw), :],
-            xres_ref.at[slot],
-            xr_sem.at[slot],
+            xres_ref.at[0],
+            xr_sem.at[0],
         )
 
     def out_dma(slot, k):
@@ -1067,31 +1066,17 @@ def _rrdb_sweep_kernel(
     in_dma(0, 0).start()
 
     def assemble(ring, j):
-        """asm <- ring rows for window j*band - margin .. (j+1)*band + margin,
-        zero outside [0, n_bands) bands."""
+        """Window value for rows j*band - margin .. (j+1)*band + margin
+        assembled from three ring slots, zero outside [0, n_bands) bands.
+        Built as a VALUE (no assembly scratch — VMEM is the binding
+        constraint at the flagship shape); out-of-range slot reads are
+        well-defined ring garbage masked by the where()."""
         sm = jax.lax.rem
-        lo_slot = sm(j - 1 + 3, 3)
-        hi_slot = sm(j + 1, 3)
+        top = jnp.where(j >= 1, ring[sm(j - 1 + 3, 3), bw - mw :, :], 0.0)
+        bot = jnp.where(j + 1 < n_bands, ring[sm(j + 1, 3), :mw, :], 0.0)
+        return jnp.concatenate([top, ring[sm(j, 3)], bot], axis=0)
 
-        @pl.when(j >= 1)
-        def _():
-            asm_ref[0:mw] = ring[lo_slot, bw - mw :, :]
-
-        @pl.when(j == 0)
-        def _():
-            asm_ref[0:mw] = jnp.zeros((mw, F), asm_ref.dtype)
-
-        asm_ref[mw : mw + bw] = ring[sm(j, 3)]
-
-        @pl.when(j + 1 < n_bands)
-        def _():
-            asm_ref[mw + bw :] = ring[hi_slot, :mw, :]
-
-        @pl.when(j + 1 >= n_bands)
-        def _():
-            asm_ref[mw + bw :] = jnp.zeros((mw, F), asm_ref.dtype)
-
-    def stage(x_window, p, row0, idx):
+    def stage(x_window, p, row0):
         return _band_compute(
             x_window,
             wx_ref.at[p], w1_ref.at[p], w2_ref.at[p], w3_ref.at[p],
@@ -1106,30 +1091,25 @@ def _rrdb_sweep_kernel(
     def body(i, _):
         slot = jax.lax.rem(i, 2)
 
-        # prefetch next flat window + the skip rows for stage C of i+1
+        # prefetch the next flat window
         @pl.when(i + 1 < n_bands)
         def _():
             in_dma(1 - slot, i + 1).start()
-
-        @pl.when((i >= 1) & (i <= n_bands))
-        def _():
-            xr_dma(jax.lax.rem(i - 1, 2), i - 1).start()
 
         # stage A: RDB1 band i
         @pl.when(i < n_bands)
         def _():
             in_dma(slot, i).wait()
             t1_ring[jax.lax.rem(i, 3)] = stage(
-                xwin_ref[slot][:, :F], 0, i * band - _MARGIN, i
+                xwin_ref[slot][:, :F], 0, i * band - _MARGIN
             )
 
         # stage B: RDB2 band i-1 from the t1 ring
         @pl.when((i >= 1) & (i - 1 < n_bands))
         def _():
             j = i - 1
-            assemble(t1_ring, j)
             t2_ring[jax.lax.rem(j, 3)] = stage(
-                asm_ref[...], 1, j * band - _MARGIN, j
+                assemble(t1_ring, j), 1, j * band - _MARGIN
             )
 
         # stage C: RDB3 band i-2 + scaled outer skip -> out
@@ -1142,10 +1122,9 @@ def _rrdb_sweep_kernel(
             def _():
                 out_dma(jax.lax.rem(k - 2, 2), k - 2).wait()
 
-            assemble(t2_ring, k)
-            band_out = stage(asm_ref[...], 2, k * band - _MARGIN, k)
-            xr_dma(oslot, k).wait()
-            band_out = xres_ref[oslot][:, :F] + scaling * band_out
+            band_out = stage(assemble(t2_ring, k), 2, k * band - _MARGIN)
+            xr_dma(k).wait()
+            band_out = xres_ref[0][:, :F] + scaling * band_out
             lanes = outs_ref.shape[-1]
             if lanes > F:
                 band_out = jnp.concatenate(
@@ -1154,6 +1133,12 @@ def _rrdb_sweep_kernel(
                 )
             outs_ref[oslot] = band_out
             out_dma(oslot, k).start()
+
+        # single-slot skip prefetch: start band i-1's skip rows only after
+        # stage C has consumed band i-2's (one iteration of overlap)
+        @pl.when((i >= 1) & (i <= n_bands))
+        def _():
+            xr_dma(i - 1).start()
 
         return 0
 
@@ -1235,11 +1220,10 @@ def rrdb_sweep_pallas_flat(
         scratch_shapes=[
             pltpu.VMEM((2, e, fp), jnp.float32),
             pltpu.VMEM((2, band * wp, fp), jnp.float32),
-            pltpu.VMEM((2, band * wp, fp), jnp.float32),
+            pltpu.VMEM((1, band * wp, fp), jnp.float32),
             pltpu.VMEM((_MARGIN * wp, fp), jnp.float32),
             pltpu.VMEM((3, band * wp, f), jnp.float32),
             pltpu.VMEM((3, band * wp, f), jnp.float32),
-            pltpu.VMEM((e, f), jnp.float32),
             pltpu.VMEM((e, f + 4 * g), jnp.float32),
             pltpu.VMEM((e, f + 3 * g), jnp.float32),
             pltpu.VMEM((e, f + 2 * g), jnp.float32),
@@ -1247,7 +1231,7 @@ def rrdb_sweep_pallas_flat(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
