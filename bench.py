@@ -66,6 +66,8 @@ def main() -> None:
         rdb_resident=os.environ.get("RDB_RESIDENT", cfg.rdb_resident),
         rrdb_fused=os.environ.get(
             "RRDB_FUSED", "1" if cfg.rrdb_fused else "0") == "1",
+        rrdb_sweep=os.environ.get(
+            "RRDB_SWEEP", "1" if cfg.rrdb_sweep else "0") == "1",
     )
     model, params = build_generator(cfg, lr=11)
 

@@ -57,6 +57,7 @@ def main():
             os.environ.get("RDB_RESIDENT", ""), GeneratorConfig().rdb_resident
         ),
         rrdb_fused=os.environ.get("RRDB_FUSED", "") == "1",
+        rrdb_sweep=os.environ.get("RRDB_SWEEP", "") == "1",
     )
     print(json.dumps({"config": {
         "tail_fused": cfg.tail_fused, "tail_pack_taps": cfg.tail_pack_taps,

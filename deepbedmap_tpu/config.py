@@ -91,6 +91,11 @@ class GeneratorConfig:
     # when the resident trunk dispatches. Default decided by measurement
     # (round-5 session); see benchmarks/RESULTS.md.
     rrdb_fused: bool = False
+    # whole-RRDB single-sweep launch (ops.pallas_rdb.rrdb_sweep_flat):
+    # software-pipelined stages with VMEM-ring intermediates — 3 HBM image
+    # transits per RRDB vs the 3-pass fused kernel's 7. Takes precedence
+    # over rrdb_fused when both are set; opt-in by measurement.
+    rrdb_sweep: bool = False
     # Fused 3x3-conv Pallas kernel (ops.pallas_conv) for the generator's
     # plain conv stages — pre/post-residual and both post-upsample convs —
     # with their LeakyReLU / long-skip epilogues fused into the kernel

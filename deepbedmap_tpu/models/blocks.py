@@ -243,11 +243,17 @@ class ResInResDenseBlock(nn.Module):
     # HBM ping-pong buffers — same MACs/traffic, 1/3 the launch boundaries.
     # Only meaningful with resident_hw set.
     rrdb_fused: bool = False
+    # single-sweep variant (VMEM-ring intermediates; see rrdb_sweep_flat);
+    # takes precedence over rrdb_fused
+    rrdb_sweep: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        if self.rrdb_fused and self.resident_hw is not None:
-            from deepbedmap_tpu.ops.pallas_rdb import rrdb_fused_flat
+        if (self.rrdb_fused or self.rrdb_sweep) and self.resident_hw is not None:
+            from deepbedmap_tpu.ops.pallas_rdb import (
+                rrdb_fused_flat,
+                rrdb_sweep_flat,
+            )
 
             kernels, biases = [], []
             for i in (1, 2, 3):
@@ -258,7 +264,8 @@ class ResInResDenseBlock(nn.Module):
                 kernels.append(k)
                 biases.append(b)
             h, w = self.resident_hw
-            return rrdb_fused_flat(
+            fn = rrdb_sweep_flat if self.rrdb_sweep else rrdb_fused_flat
+            return fn(
                 x.astype(jnp.float32), kernels, biases,
                 self.residual_scaling, h, w, 32, self.mxu_bf16,
             )

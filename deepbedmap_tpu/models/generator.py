@@ -88,6 +88,7 @@ class _RRDBStep(nn.Module):
     mxu_bf16: bool = False
     resident_hw: tuple | None = None
     rrdb_fused: bool = False
+    rrdb_sweep: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
@@ -101,6 +102,7 @@ class _RRDBStep(nn.Module):
             mxu_bf16=self.mxu_bf16,
             resident_hw=self.resident_hw,
             rrdb_fused=self.rrdb_fused,
+            rrdb_sweep=self.rrdb_sweep,
             name="block",
         )(carry)
         return out, None
@@ -167,6 +169,7 @@ class Generator(nn.Module):
             cfg.rdb_mxu_bf16,
             (h_lat, w_lat) if resident else None,
             cfg.rrdb_fused and resident,
+            cfg.rrdb_sweep and resident,
             name="residual_network",
         )
         t_out, _ = trunk(t_in, None)

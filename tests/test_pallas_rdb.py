@@ -464,3 +464,22 @@ def test_rrdb_sweep_gradients_match_xla():
     np.testing.assert_allclose(
         np.asarray(g_sweep), np.asarray(g_ref), rtol=1e-3, atol=1e-3
     )
+
+
+def test_generator_rrdb_sweep_parity():
+    """End-to-end: the generator with rrdb_sweep=True matches the per-RDB
+    resident trunk (same params tree; fp32-rounding tolerance — see
+    test_rrdb_sweep_matches_fused_launch for why not bit equality)."""
+    from deepbedmap_tpu.config import GeneratorConfig
+    from deepbedmap_tpu.models import build_generator
+    from deepbedmap_tpu.models.api import example_inputs_nhwc
+
+    base = dict(num_residual_blocks=2, rdb_resident="always", fused_rdb="always")
+    m0, p0 = build_generator(GeneratorConfig(**base), lr=16)
+    m1, p1 = build_generator(GeneratorConfig(**base, rrdb_sweep=True), lr=16)
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    x, w1, w2, w3 = example_inputs_nhwc(1, 16)
+    o0 = m0.apply({"params": p0}, x, w1, w2, w3)
+    o1 = m1.apply({"params": p1}, x, w1, w2, w3)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), rtol=1e-5, atol=1e-4)
