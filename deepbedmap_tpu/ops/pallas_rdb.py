@@ -1163,18 +1163,37 @@ def rrdb_sweep_pallas_flat(
     interpret: bool = False,
     pack_dys: bool = True,
     mxu_bf16: bool = False,
+    mode: str = "static",
 ) -> jax.Array:
-    """Whole RRDB as a single software-pipelined sweep (see
-    ``_rrdb_sweep_kernel``): intermediates live in VMEM rings, HBM sees the
-    input twice (window + skip) and the output once."""
+    """Whole RRDB as a single software-pipelined sweep: intermediates live
+    in VMEM rings, HBM sees the input twice (window + skip) and the output
+    once. ``mode``:
+      'static' — static prologue/epilogue, UNCONDITIONAL 3-stage steady
+        body + scratch window assembler (``_rrdb_sweep2_kernel``). The
+        band may be internally re-divided (largest divisor of the layout's
+        hp that is <= min(band, 24) — the assembler scratch must fit VMEM
+        at the flagship shape) — hp, and therefore the flat layout, is
+        unchanged.
+      'cond'   — every stage under pl.when in one loop
+        (``_rrdb_sweep_kernel``); measured +15 ms/RRDB vs the 3-pass
+        fused launch at the flagship shape (predication pathology), kept
+        for comparison."""
     n, r, fp = flat.shape
     f = kernels[0][0].shape[2]
     assert fp == -(-f // _LANES) * _LANES, (fp, f)
     g = kernels[0][0].shape[-1]
     wp = w + 2
     n_bands = -(-h // band)
+    hp = n_bands * band
+    assert r == hp * wp + 2 * _MARGIN * wp, (r, n_bands, band, wp)
+    if mode == "static":
+        # re-divide hp into the largest VMEM-fitting band (same layout)
+        band = max(
+            (d for d in range(min(band, 24), _MARGIN - 1, -1) if hp % d == 0),
+            default=band,
+        )
+        n_bands = hp // band
     e = (band + 2 * _MARGIN) * wp
-    assert r == n_bands * band * wp + 2 * _MARGIN * wp, (r, n_bands, band, wp)
     # the ring window spans at most one band each side of the current one
     assert band >= _MARGIN, (band, _MARGIN)
     interpret = interpret or jax.default_backend() != "tpu"
@@ -1194,7 +1213,7 @@ def rrdb_sweep_pallas_flat(
     ])
 
     kernel = functools.partial(
-        _rrdb_sweep_kernel,
+        _rrdb_sweep2_kernel if mode == "static" else _rrdb_sweep_kernel,
         n_bands=n_bands,
         band=band,
         wp=wp,
@@ -1205,6 +1224,9 @@ def rrdb_sweep_pallas_flat(
         scaling=scaling,
         pack_dys=pack_dys,
         mxu_bf16=mxu_bf16,
+    )
+    asm_scratch = (
+        [pltpu.VMEM((e, f), jnp.float32)] if mode == "static" else []
     )
     out = pl.pallas_call(
         kernel,
@@ -1220,10 +1242,15 @@ def rrdb_sweep_pallas_flat(
         scratch_shapes=[
             pltpu.VMEM((2, e, fp), jnp.float32),
             pltpu.VMEM((2, band * wp, fp), jnp.float32),
-            pltpu.VMEM((1, band * wp, fp), jnp.float32),
+            pltpu.VMEM(
+                (2 if mode == "static" else 1, band * wp, fp), jnp.float32
+            ),
             pltpu.VMEM((_MARGIN * wp, fp), jnp.float32),
             pltpu.VMEM((3, band * wp, f), jnp.float32),
             pltpu.VMEM((3, band * wp, f), jnp.float32),
+        ]
+        + asm_scratch
+        + [
             pltpu.VMEM((e, f + 4 * g), jnp.float32),
             pltpu.VMEM((e, f + 3 * g), jnp.float32),
             pltpu.VMEM((e, f + 2 * g), jnp.float32),
@@ -1231,10 +1258,11 @@ def rrdb_sweep_pallas_flat(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((1,)),
+            # skip-row DMA: double-buffered in static mode, single in cond
+            pltpu.SemaphoreType.DMA((2,) if mode == "static" else (1,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
     )(flat, *stacked, b_all)
@@ -1255,3 +1283,183 @@ def _rrdb_sweep_fwd(flat, kernels, biases, scaling, h, w, band, mxu_bf16):
 
 
 rrdb_sweep_flat.defvjp(_rrdb_sweep_fwd, _rrdb_flat_bwd)
+
+
+def _rrdb_sweep2_kernel(
+    flat_ref,  # (N, R, Fp) ANY/HBM — resident flat layout, margins zero
+    wx_ref,  # (3, ...) stacked per-RDB packed weights, VMEM
+    w1_ref,
+    w2_ref,
+    w3_ref,
+    w4_ref,
+    b_ref,  # (3, 1, lane-padded) stacked biases, VMEM
+    out_ref,  # (N, R, Fp) ANY/HBM
+    xwin_ref,  # (2, E, Fp) VMEM
+    outs_ref,  # (2, band*wp, Fp) VMEM
+    xres_ref,  # (2, band*wp, Fp) VMEM
+    zeros_ref,  # (_MARGIN*wp, Fp) VMEM
+    t1_ring,  # (3, band*wp, F) VMEM
+    t2_ring,  # (3, band*wp, F) VMEM
+    asm_ref,  # (E, F) VMEM — scratch window assembler
+    accx_ref,
+    acc1_ref,
+    acc2_ref,
+    acc3_ref,
+    in_sem,  # DMA (2,)
+    out_sem,  # DMA (2,)
+    z_sem,  # DMA (2,)
+    xr_sem,  # DMA (2,)
+    *,
+    n_bands: int,
+    band: int,
+    wp: int,
+    height: int,
+    width: int,
+    features: int,
+    growth: int,
+    scaling: float,
+    pack_dys: bool = False,
+    mxu_bf16: bool = False,
+):
+    """Single-sweep RRDB, take 2: STATIC prologue/epilogue so the steady-state
+    fori body runs all three stages UNCONDITIONALLY (the cond-guarded v1
+    measured +15 ms/RRDB vs the 3-pass fused launch — predication/pipelining
+    pathology), with a scratch-based window assembler instead of
+    value-concatenation. Same schedule (stages one band apart, VMEM rings),
+    same DMA contract; requires n_bands >= 1 and band >= _MARGIN."""
+    img = pl.program_id(0)
+    e = (band + 2 * _MARGIN) * wp
+    mw = _MARGIN * wp
+    bw = band * wp
+    hp = n_bands * band
+    F = features
+
+    def in_dma(i):
+        return pltpu.make_async_copy(
+            flat_ref.at[img, pl.ds(i * bw, e), :],
+            xwin_ref.at[jax.lax.rem(i, 2)],
+            in_sem.at[jax.lax.rem(i, 2)],
+        )
+
+    def xr_dma(k):
+        return pltpu.make_async_copy(
+            flat_ref.at[img, pl.ds(mw + k * bw, bw), :],
+            xres_ref.at[jax.lax.rem(k, 2)],
+            xr_sem.at[jax.lax.rem(k, 2)],
+        )
+
+    def out_dma(k):
+        return pltpu.make_async_copy(
+            outs_ref.at[jax.lax.rem(k, 2)],
+            out_ref.at[img, pl.ds(mw + k * bw, bw)],
+            out_sem.at[jax.lax.rem(k, 2)],
+        )
+
+    zeros_ref[...] = jnp.zeros_like(zeros_ref)
+    zt = pltpu.make_async_copy(zeros_ref, out_ref.at[img, pl.ds(0, mw)], z_sem.at[0])
+    zb = pltpu.make_async_copy(
+        zeros_ref, out_ref.at[img, pl.ds(mw + hp * wp, mw)], z_sem.at[1]
+    )
+    zt.start()
+    zb.start()
+    in_dma(0).start()
+    xr_dma(0).start()
+
+    def stage(x_window, p, row0):
+        return _band_compute(
+            x_window,
+            wx_ref.at[p], w1_ref.at[p], w2_ref.at[p], w3_ref.at[p],
+            w4_ref.at[p], b_ref.at[p],
+            accx_ref, acc1_ref, acc2_ref, acc3_ref,
+            row0,
+            band=band, wp=wp, height=height, width=width,
+            features=features, growth=growth, scaling=scaling,
+            pack_dys=pack_dys, mxu_bf16=mxu_bf16, mask_out=True,
+        )
+
+    def assemble(ring, j):
+        """asm <- ring window for band j; j==0 / j==n_bands-1 margins zeroed.
+        Runs unconditionally; the edge zeroing uses pl.when over COPIES only
+        (cheap predication, no compute inside)."""
+        sm = jax.lax.rem
+
+        @pl.when(j >= 1)
+        def _():
+            asm_ref[0:mw] = ring[sm(j - 1 + 3, 3), bw - mw :, :]
+
+        @pl.when(j == 0)
+        def _():
+            asm_ref[0:mw] = jnp.zeros((mw, F), asm_ref.dtype)
+
+        asm_ref[mw : mw + bw] = ring[sm(j, 3)]
+
+        @pl.when(j + 1 < n_bands)
+        def _():
+            asm_ref[mw + bw :] = ring[sm(j + 1, 3), :mw, :]
+
+        @pl.when(j + 1 >= n_bands)
+        def _():
+            asm_ref[mw + bw :] = jnp.zeros((mw, F), asm_ref.dtype)
+
+    def run_a(i):
+        # prefetch the next window before waiting on this one
+        @pl.when(i + 1 < n_bands)
+        def _():
+            in_dma(i + 1).start()
+
+        in_dma(i).wait()
+        t1_ring[jax.lax.rem(i, 3)] = stage(
+            xwin_ref[jax.lax.rem(i, 2)][:, :F], 0, i * band - _MARGIN
+        )
+
+    def run_b(j):
+        assemble(t1_ring, j)
+        t2_ring[jax.lax.rem(j, 3)] = stage(asm_ref[...], 1, j * band - _MARGIN)
+
+    def run_c(k):
+        @pl.when(k + 1 < n_bands)
+        def _():
+            xr_dma(k + 1).start()
+
+        @pl.when(k >= 2)
+        def _():
+            out_dma(k - 2).wait()
+
+        assemble(t2_ring, k)
+        band_out = stage(asm_ref[...], 2, k * band - _MARGIN)
+        xr_dma(k).wait()
+        band_out = xres_ref[jax.lax.rem(k, 2)][:, :F] + scaling * band_out
+        lanes = outs_ref.shape[-1]
+        if lanes > F:
+            band_out = jnp.concatenate(
+                [band_out, jnp.zeros((bw, lanes - F), band_out.dtype)], axis=1
+            )
+        outs_ref[jax.lax.rem(k, 2)] = band_out
+        out_dma(k).start()
+
+    if n_bands == 1:
+        run_a(0)
+        run_b(0)
+        run_c(0)
+    else:
+        run_a(0)          # prologue
+        run_a(1)
+        run_b(0)
+
+        def body(k, _):   # steady state: all three stages, no guards
+            run_a(k + 2)
+            run_b(k + 1)
+            run_c(k)
+            return 0
+
+        jax.lax.fori_loop(0, n_bands - 2, body, 0)
+
+        run_b(n_bands - 1)  # epilogue
+        run_c(n_bands - 2)
+        run_c(n_bands - 1)
+
+    if n_bands >= 2:
+        out_dma(n_bands - 2).wait()
+    out_dma(n_bands - 1).wait()
+    zt.wait()
+    zb.wait()

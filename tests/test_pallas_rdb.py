@@ -483,3 +483,27 @@ def test_generator_rrdb_sweep_parity():
     o0 = m0.apply({"params": p0}, x, w1, w2, w3)
     o1 = m1.apply({"params": p1}, x, w1, w2, w3)
     np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["static", "cond"])
+def test_rrdb_sweep_modes_agree(mode):
+    """Both sweep schedules — the unconditional prologue/epilogue 'static'
+    pipeline (default; may internally re-divide the band) and the
+    cond-guarded 'cond' loop — compute the same RRDB."""
+    from deepbedmap_tpu.ops.pallas_rdb import (
+        flatten_rdb,
+        rrdb_pallas_flat,
+        rrdb_sweep_pallas_flat,
+    )
+
+    rs = np.random.RandomState(25)
+    x = jnp.asarray(rs.randn(1, 30, 14, F).astype(np.float32))
+    sets = [_params(seed=70 + i) for i in range(3)]
+    kernels = [s[0] for s in sets]
+    biases = [s[1] for s in sets]
+    flat = flatten_rdb(x, band=8)
+    fused = rrdb_pallas_flat(flat, kernels, biases, 0.2, h=30, w=14, band=8)
+    got = rrdb_sweep_pallas_flat(
+        flat, kernels, biases, 0.2, h=30, w=14, band=8, mode=mode
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(fused), rtol=1e-5, atol=1e-5)
