@@ -1163,21 +1163,24 @@ def rrdb_sweep_pallas_flat(
     interpret: bool = False,
     pack_dys: bool = True,
     mxu_bf16: bool = False,
-    mode: str = "static",
+    mode: str = "cond",
 ) -> jax.Array:
     """Whole RRDB as a single software-pipelined sweep: intermediates live
     in VMEM rings, HBM sees the input twice (window + skip) and the output
     once. ``mode``:
+      'cond' (default) — every stage under pl.when in one loop
+        (``_rrdb_sweep_kernel``). Compiles and runs at the flagship shape;
+        bit-exact vs the 3-pass fused launch but measured +15 ms/RRDB
+        slower (predication pathology) — functional variant, not the
+        perf path.
       'static' — static prologue/epilogue, UNCONDITIONAL 3-stage steady
-        body + scratch window assembler (``_rrdb_sweep2_kernel``). The
-        band may be internally re-divided (largest divisor of the layout's
-        hp that is <= min(band, 24) — the assembler scratch must fit VMEM
-        at the flagship shape) — hp, and therefore the flat layout, is
-        unchanged.
-      'cond'   — every stage under pl.when in one loop
-        (``_rrdb_sweep_kernel``); measured +15 ms/RRDB vs the 3-pass
-        fused launch at the flagship shape (predication pathology), kept
-        for comparison."""
+        body + scratch window assembler (``_rrdb_sweep2_kernel``), the
+        band internally re-divided to the largest hp divisor <= 24.
+        Correct in interpret mode / small shapes, but the unrolled
+        prologue/epilogue band-computes do not share Mosaic stack slots:
+        at the flagship shape the scoped VMEM allocation is 146 M / 128 M
+        (r5f log) — compile-blocked until the stack sharing improves or
+        the steady body shrinks. Kept as the round-6 starting point."""
     n, r, fp = flat.shape
     f = kernels[0][0].shape[2]
     assert fp == -(-f // _LANES) * _LANES, (fp, f)
