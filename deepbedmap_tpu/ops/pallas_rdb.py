@@ -939,7 +939,7 @@ def rrdb_pallas_flat(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=116 * 1024 * 1024,
         ),
         interpret=interpret,
     )(flat, *stacked, b_all)
